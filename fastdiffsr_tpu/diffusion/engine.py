@@ -1,0 +1,261 @@
+"""Unified Gaussian-diffusion engine.
+
+The reference ships four ~290-line ``diffusion.py`` siblings
+(model/{fastdiffsr,ddpm,tesr,gdp}_modules/diffusion.py) that differ in ~30
+lines. Here they are configurations of ONE engine:
+
+===========  ==========  ===============  ============  =======  ====
+variant      prediction  conditioning     target_space  loss     T
+===========  ==========  ===============  ============  =======  ====
+fastdiffsr   noise       continuous_gamma residual      l1       20
+ddpm         noise       discrete_t       hr            l1       1000
+tesr         noise       continuous_gamma hr            charb.   2000
+gdp          x0          discrete_t       hr            l2       1000
+===========  ==========  ===============  ============  =======  ====
+
+(fastdiffsr: diffusion.py:242-289; ddpm: ddpm_modules/diffusion.py:260-295;
+tesr: tesr_modules/diffusion.py:86-93,225; gdp: gdp_modules/diffusion.py:
+100-103,184-195,277-297 — gdp additionally feeds ``cat([x, cond])`` instead
+of ``cat([cond, x])`` and maps loss_type 'l1' silently to MSE.)
+
+Everything is a pure function of (params-closed denoise_fn, buffers, rng).
+The reverse loop is a single ``jax.lax.scan`` so T steps compile to one XLA
+program — this is the main throughput lever vs the reference's per-step
+python dispatch (diffusion.py:192-221).
+
+Layout is NHWC throughout.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .schedules import ScheduleBuffers
+
+# denoise_fn(x_in: (B,H,W,Cin), level: (B,)) -> (B,H,W,Cout)
+DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
+
+
+@dataclasses.dataclass(frozen=True)
+class DiffusionSpec:
+    """Static configuration selecting a diffusion variant."""
+
+    prediction: str = "noise"             # 'noise' | 'x0'
+    conditioning: str = "continuous_gamma"  # 'continuous_gamma' | 'discrete_t'
+    target_space: str = "residual"        # 'residual' | 'hr'
+    loss: str = "l1"                      # 'l1' | 'l2' | 'charbonnier'
+    cond_order: str = "cond_first"        # 'cond_first' | 'x_first' (gdp)
+    conditional: bool = True
+    clip_denoised: bool = True
+    charbonnier_eps: float = 1e-3
+
+    @classmethod
+    def for_variant(cls, name: str) -> "DiffusionSpec":
+        if name == "fastdiffsr":
+            return cls(prediction="noise", conditioning="continuous_gamma",
+                       target_space="residual", loss="l1")
+        if name == "ddpm":
+            return cls(prediction="noise", conditioning="continuous_gamma",
+                       target_space="hr", loss="l1")
+        if name == "tesr":
+            return cls(prediction="noise", conditioning="continuous_gamma",
+                       target_space="hr", loss="charbonnier")
+        if name == "gdp":
+            # reference maps loss 'l1' to MSE (gdp_modules/diffusion.py:100)
+            return cls(prediction="x0", conditioning="continuous_gamma",
+                       target_space="hr", loss="l2", cond_order="x_first")
+        raise ValueError(f"unknown diffusion variant: {name}")
+
+
+def img2res(x_hr: jax.Array, img_lr_up: jax.Array,
+            clip: bool = True) -> jax.Array:
+    """HR image -> residual space: (HR - bicubic)*2, clamped to [-1, 1].
+    (reference diffusion.py:283-289)"""
+    x = (x_hr - img_lr_up) * 2.0
+    if clip:
+        x = jnp.clip(x, -1.0, 1.0)
+    return x
+
+
+def res2img(res: jax.Array, img_lr_up: jax.Array,
+            clip: bool = True) -> jax.Array:
+    """Residual -> HR image: clamp(res)/2 + bicubic.
+    (reference diffusion.py:275-281)"""
+    if clip:
+        res = jnp.clip(res, -1.0, 1.0)
+    return res / 2.0 + img_lr_up
+
+
+class DiffusionEngine:
+    """Pure-functional diffusion train/sample math for one (spec, schedule)."""
+
+    def __init__(self, spec: DiffusionSpec, buffers: ScheduleBuffers):
+        self.spec = spec
+        self.buffers = buffers
+
+    # ------------------------------------------------------------------ #
+    # forward process
+    # ------------------------------------------------------------------ #
+
+    def q_sample(self, x_start: jax.Array, gamma: jax.Array,
+                 noise: jax.Array) -> jax.Array:
+        """x_t = gamma * x0 + sqrt(1 - gamma^2) * eps, gamma = sqrt(alpha_bar).
+        (reference diffusion.py:233-240)"""
+        gamma = gamma.reshape((-1,) + (1,) * (x_start.ndim - 1))
+        return gamma * x_start + jnp.sqrt(1.0 - gamma ** 2) * noise
+
+    def sample_gammas(self, rng: jax.Array, batch: int):
+        """Training noise levels: one t ~ U{1..T} per step, then per-sample
+        gamma ~ U[sqrt_ac_prev[t-1], sqrt_ac_prev[t]]
+        (reference diffusion.py:248-257)."""
+        b = self.buffers
+        rng_t, rng_g = jax.random.split(rng)
+        t = jax.random.randint(rng_t, (), 1, b.num_timesteps + 1)
+        lo = b.sqrt_alphas_cumprod_prev[t - 1]
+        hi = b.sqrt_alphas_cumprod_prev[t]
+        gamma = jax.random.uniform(rng_g, (batch,), minval=lo, maxval=hi)
+        return gamma, t
+
+    # ------------------------------------------------------------------ #
+    # training loss
+    # ------------------------------------------------------------------ #
+
+    def training_loss(self, denoise_fn: DenoiseFn, batch: dict,
+                      rng: jax.Array) -> jax.Array:
+        """L(theta) for one batch {'HR': (B,H,W,C), 'SR': (B,H,W,C)}.
+
+        Matches the reference normalization: sum-reduced loss / (b*c*h*w)
+        == mean (model/model.py:47-52 + diffusion.py:269).
+        """
+        spec = self.spec
+        x_hr = batch["HR"]
+        img_lr_up = batch["SR"]
+        if spec.target_space == "residual":
+            x_start = img2res(x_hr, img_lr_up)
+        else:
+            x_start = x_hr
+
+        bsz = x_start.shape[0]
+        rng_gamma, rng_noise = jax.random.split(rng)
+        gamma, _ = self.sample_gammas(rng_gamma, bsz)
+        noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
+        x_noisy = self.q_sample(x_start, gamma, noise)
+
+        x_in = self._pack(x_noisy, img_lr_up)
+        pred = denoise_fn(x_in, gamma)
+
+        target = x_start if spec.prediction == "x0" else noise
+        return self._loss(target, pred)
+
+    def _loss(self, target: jax.Array, pred: jax.Array) -> jax.Array:
+        diff = target.astype(jnp.float32) - pred.astype(jnp.float32)
+        if self.spec.loss == "l1":
+            return jnp.mean(jnp.abs(diff))
+        if self.spec.loss == "l2":
+            return jnp.mean(diff ** 2)
+        if self.spec.loss == "charbonnier":
+            return jnp.mean(jnp.sqrt(diff ** 2 + self.spec.charbonnier_eps ** 2))
+        raise NotImplementedError(self.spec.loss)
+
+    def _pack(self, x: jax.Array, cond: Optional[jax.Array]) -> jax.Array:
+        if not self.spec.conditional or cond is None:
+            return x
+        if self.spec.cond_order == "cond_first":
+            return jnp.concatenate([cond, x], axis=-1)
+        return jnp.concatenate([x, cond], axis=-1)
+
+    # ------------------------------------------------------------------ #
+    # reverse process (sampling) — one lax.scan over T steps
+    # ------------------------------------------------------------------ #
+
+    def predict_start_from_noise(self, x_t, t_idx, noise):
+        b = self.buffers
+        return (b.sqrt_recip_alphas_cumprod[t_idx] * x_t
+                - b.sqrt_recipm1_alphas_cumprod[t_idx] * noise)
+
+    def q_posterior(self, x_start, x_t, t_idx):
+        b = self.buffers
+        mean = (b.posterior_mean_coef1[t_idx] * x_start
+                + b.posterior_mean_coef2[t_idx] * x_t)
+        log_var = b.posterior_log_variance_clipped[t_idx]
+        return mean, log_var
+
+    def sample(self,
+               denoise_fn: DenoiseFn,
+               cond: Optional[jax.Array],
+               rng: jax.Array,
+               shape: Optional[tuple] = None,
+               return_trajectory: bool = False,
+               init_noise: Optional[jax.Array] = None,
+               noise_seq: Optional[jax.Array] = None) -> jax.Array:
+        """Reverse diffusion. ``cond`` is the bicubic-upsampled LR batch
+        (B,H,W,C); for unconditional sampling pass ``cond=None`` and a shape.
+
+        ``init_noise`` / ``noise_seq`` ((T,B,H,W,C), indexed by timestep t)
+        override internal RNG — used by parity tests to feed the exact noise
+        draws of the PyTorch reference.
+
+        Returns the final image (residual already folded back via
+        :func:`res2img` when target_space == 'residual'); with
+        ``return_trajectory``, also the (T,B,H,W,C) stack of intermediate
+        states in sampling order (t = T-1 ... 0), converted to image space.
+        """
+        spec = self.spec
+        b = self.buffers
+        T = b.num_timesteps
+        if shape is None:
+            assert cond is not None
+            shape = cond.shape
+
+        rng_init, rng_steps = jax.random.split(rng)
+        if init_noise is None:
+            init_noise = jax.random.normal(rng_init, shape, jnp.float32)
+        img = init_noise
+
+        # per-step constants, stacked in scan order t = T-1 ... 0
+        ts = jnp.arange(T - 1, -1, -1)
+        consts = {
+            "t": ts,
+            "noise_level": b.sqrt_alphas_cumprod_prev[ts + 1],
+            "nonzero": (ts > 0).astype(jnp.float32),
+        }
+        if noise_seq is not None:
+            consts["noise"] = noise_seq[ts]
+
+        bsz = shape[0]
+
+        def step(carry, c):
+            x = carry
+            t_idx = c["t"]
+            level = jnp.full((bsz,), c["noise_level"], jnp.float32)
+            x_in = self._pack(x, cond)
+            model_out = denoise_fn(x_in, level).astype(jnp.float32)
+            if spec.prediction == "x0":
+                x_recon = model_out
+            else:
+                x_recon = self.predict_start_from_noise(x, t_idx, model_out)
+            if spec.clip_denoised:
+                x_recon = jnp.clip(x_recon, -1.0, 1.0)
+            mean, log_var = self.q_posterior(x_recon, x, t_idx)
+            if noise_seq is not None:
+                noise = c["noise"]
+            else:
+                step_rng = jax.random.fold_in(rng_steps, t_idx)
+                noise = jax.random.normal(step_rng, x.shape, jnp.float32)
+            x_next = mean + c["nonzero"] * noise * jnp.exp(0.5 * log_var)
+            return x_next, (x_next if return_trajectory else None)
+
+        img, traj = jax.lax.scan(step, img, consts)
+
+        def to_img(z):
+            if spec.target_space == "residual":
+                return res2img(z, cond)
+            return z
+
+        if return_trajectory:
+            return to_img(img), jax.vmap(to_img)(traj)
+        return to_img(img)
