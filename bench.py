@@ -1,0 +1,80 @@
+"""Benchmark: FastDiffSR T=20 sampling throughput on one TPU chip.
+
+North-star metric (BASELINE.md): SR images/sec/chip at 64->256 x4 sampling,
+T=20, paper UNet config (inner 64, mults [1,2,4,4], res_blocks 2).
+
+The whole 20-step reverse diffusion is ONE jitted XLA program (lax.scan),
+batched; bf16 compute / f32 params. The reference executes the same math as
+20 sequential python-dispatched UNet calls per image at batch=1
+(sr_mfe.py:258-386).
+
+``vs_baseline``: the repo records no reference numbers (BASELINE.json
+"published": {}). Denominator used here: 2.0 images/sec — an estimate of the
+PyTorch reference (batch-1, T=20, 256x256, ~2080Ti/V100-era single GPU,
+~0.5 s/image); printed ratio = ours / 2.0. Replace with a measured number
+when a reference GPU is available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+REF_IMAGES_PER_SEC_EST = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
+                                          ScheduleBuffers)
+    from fastdiffsr_tpu.models import FastDiffSRUNet
+    from fastdiffsr_tpu.train import make_sample_fn
+
+    backend = jax.default_backend()
+    # batch size per chip: v5e has 16 GB HBM; 256x256x6 activations through
+    # the UNet at bf16 fit comfortably at 16.
+    B, H, W = 16, 256, 256
+
+    engine = DiffusionEngine(
+        DiffusionSpec.for_variant("fastdiffsr"),
+        ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
+                                "linear_start": 1e-6, "linear_end": 1e-2}))
+    net = FastDiffSRUNet(dtype=jnp.bfloat16)
+
+    rng = jax.random.PRNGKey(0)
+    params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]
+
+    def apply_fn(p, x_in, level, _rng):
+        return net.apply({"params": p}, x_in, level, deterministic=True)
+
+    sample_fn = make_sample_fn(engine, apply_fn)
+
+    cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32, -1.0, 1.0)
+
+    # warmup / compile
+    out = sample_fn(params, cond, rng)
+    jax.block_until_ready(out)
+
+    n_rep = 5
+    t0 = time.time()
+    for i in range(n_rep):
+        out = sample_fn(params, cond, jax.random.fold_in(rng, i))
+    jax.block_until_ready(out)
+    dt = time.time() - t0
+
+    imgs_per_sec = n_rep * B / dt
+    print(json.dumps({
+        "metric": "sr_images_per_sec_per_chip_64to256_T20",
+        "value": round(float(imgs_per_sec), 3),
+        "unit": f"images/sec/chip (batch {B}, {backend})",
+        "vs_baseline": round(float(imgs_per_sec) / REF_IMAGES_PER_SEC_EST, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,241 @@
+"""Train/val CLI — the ``sr_mfe.py`` equivalent (reference sr_mfe.py:20-386).
+
+Usage parity:
+    python -m fastdiffsr_tpu.cli.sr_mfe -p train -c config/xxx.json [-debug]
+    python -m fastdiffsr_tpu.cli.sr_mfe -p val   -c config/xxx.json
+
+Differences by design (TPU-native):
+- the T-step sampler and the train step are each ONE jitted XLA program
+- data parallel across all local devices via jax.sharding mesh (replaces
+  gpu_ids / CUDA_VISIBLE_DEVICES plumbing)
+- checkpoints are Orbax-style dirs ``I{iter}_E{epoch}`` (same naming)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def build_all(opt, phase: str, mesh=None):
+    """Construct (engine_train, engine_val, net, apply_fn, params_init)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..diffusion import DiffusionSpec, DiffusionEngine, ScheduleBuffers
+    from ..models.unet_fastdiffsr import unet_from_config
+
+    model_opt = opt["model"]
+    variant = model_opt["which_model_G"]
+    spec = DiffusionSpec.for_variant(variant)
+    sched = model_opt["beta_schedule"]
+    eng_train = DiffusionEngine(spec, ScheduleBuffers.create(sched["train"]))
+    eng_val = DiffusionEngine(spec, ScheduleBuffers.create(sched["val"]))
+
+    net = unet_from_config(model_opt["unet"])
+
+    def apply_fn(params, x_in, level, rng):
+        kwargs = {}
+        if rng is not None:
+            kwargs = {"rngs": {"dropout": rng}, "deterministic": False}
+        return net.apply({"params": params}, x_in, level, **kwargs)
+
+    r = int(opt["datasets"]["val"]["r_resolution"])
+    init_rng = jax.random.PRNGKey(0)
+    params = net.init(init_rng,
+                      jnp.zeros((1, r, r, net.in_channel)),
+                      jnp.ones((1,)))["params"]
+    return eng_train, eng_val, net, apply_fn, params
+
+
+def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
+                   mesh=None, scale=4, max_images=None, save_images=True):
+    import jax
+
+    from ..data import create_dataset, create_dataloader
+    from .. import metrics as M
+    from ..train import make_sample_fn
+
+    val_set = create_dataset(opt["datasets"]["val"], "val")
+    val_loader = create_dataloader(val_set, opt["datasets"]["val"], "val")
+    sample_fn = make_sample_fn(engine_val, apply_fn, mesh=mesh)
+
+    rng = jax.random.PRNGKey(opt.get("val_seed") or 0)
+    sums = {"psnr": 0.0, "ssim": 0.0, "mse": 0.0, "ergas": 0.0, "lpips": 0.0,
+            "lpips_n": 0}
+    n = 0
+    t_total = 0.0
+    for idx, batch in enumerate(val_loader):
+        if max_images is not None and idx >= max_images:
+            break
+        cond = batch["SR"]
+        t0 = time.time()
+        sr = sample_fn(params, cond, jax.random.fold_in(rng, idx))
+        sr = np.asarray(jax.block_until_ready(sr))
+        dt = time.time() - t0
+        t_total += dt
+
+        sr_img = M.tensor2img(sr[0])
+        hr_img = M.tensor2img(batch["HR"][0])
+        bic_img = M.tensor2img(batch["SR"][0])
+
+        psnr = M.calculate_psnr(sr_img, hr_img)
+        ssim = M.calculate_ssim(sr_img, hr_img)
+        mse = M.calculate_mse(sr_img, hr_img)
+        ergas = M.calculate_ergas(sr_img, hr_img, scale=scale)
+        lp = M.calculate_lpips(sr_img, hr_img)
+        sums["psnr"] += psnr
+        sums["ssim"] += ssim
+        sums["mse"] += mse
+        sums["ergas"] += ergas
+        if lp is not None:
+            sums["lpips"] += lp
+            sums["lpips_n"] += 1
+        n += 1
+
+        if save_images:
+            M.save_img(sr_img, os.path.join(result_path,
+                                            f"{idx}_sr.png"))
+            M.save_img(hr_img, os.path.join(result_path,
+                                            f"{idx}_hr.png"))
+            M.save_img(bic_img, os.path.join(result_path,
+                                             f"{idx}_inf.png"))
+        logger.info(
+            f"img {idx}: psnr {psnr:.4f} ssim {ssim:.4f} mse {mse:.1f} "
+            f"ergas {ergas:.4f} lpips {lp if lp is not None else 'n/a'} "
+            f"({dt:.3f}s)")
+
+    if n == 0:
+        return {}
+    res = {"psnr": sums["psnr"] / n, "ssim": sums["ssim"] / n,
+           "mse": sums["mse"] / n, "ergas": sums["ergas"] / n,
+           "avg_time": t_total / n}
+    if sums["lpips_n"]:
+        res["lpips"] = sums["lpips"] / sums["lpips_n"]
+    logger.info("# Validation # " + " ".join(
+        f"{k}: {v:.4e}" for k, v in res.items()))
+    return res
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("-p", "--phase", type=str,
+                        choices=["train", "val"], default="train")
+    parser.add_argument("-debug", action="store_true")
+    parser.add_argument("-enable_wandb", action="store_true")
+    parser.add_argument("-log_wandb_ckpt", action="store_true")
+    parser.add_argument("-log_eval", action="store_true")
+    args = parser.parse_args(argv)
+
+    from ..config import parse, dict2str, infer_scale
+    from ..utils.logging import setup_logger, make_tb_writer
+
+    opt = parse(args.config, args.phase, debug=args.debug,
+                enable_wandb=args.enable_wandb,
+                log_wandb_ckpt=args.log_wandb_ckpt, log_eval=args.log_eval)
+
+    logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
+    val_logger = setup_logger("val", opt["path"]["log"], "val")
+    logger.info(dict2str(opt))
+    tb = make_tb_writer(opt["path"]["tb_logger"])
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data import create_dataset, create_dataloader
+    from ..parallel import make_mesh, shard_batch
+    from ..train import create_train_state, make_train_step
+    from ..train.state import make_optimizer
+    from ..train.checkpoint import save_state, load_state
+
+    scale = infer_scale(opt)
+    n_dev = jax.local_device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    logger.info(f"devices: {n_dev} ({jax.default_backend()}), "
+                f"scale x{scale}")
+
+    eng_train, eng_val, net, apply_fn, params = build_all(opt, args.phase,
+                                                          mesh)
+
+    if args.phase == "train":
+        train_opt = opt["train"]
+        tx = make_optimizer(train_opt["optimizer"])
+        state = create_train_state(params, tx)
+        ema_cfg = train_opt.get("ema_scheduler") or {}
+        step_fn = make_train_step(
+            eng_train, apply_fn, tx,
+            ema_decay=float(ema_cfg.get("ema_decay", 0.9999)),
+            ema_start=int(ema_cfg.get("step_start_ema", 5000)),
+            mesh=mesh)
+
+        if opt["path"]["resume_state"]:
+            state = load_state(opt["path"]["resume_state"], state)
+            logger.info(f"resumed from {opt['path']['resume_state']} at "
+                        f"step {int(state.step)}")
+
+        train_set = create_dataset(opt["datasets"]["train"], "train")
+        train_loader = create_dataloader(train_set,
+                                         opt["datasets"]["train"], "train")
+        n_iter = int(train_opt["n_iter"])
+        rng = jax.random.PRNGKey(42)
+        current_step = int(state.step)
+        current_epoch = int(state.epoch)
+
+        while current_step < n_iter:
+            current_epoch += 1
+            for batch in train_loader:
+                if current_step >= n_iter:
+                    break
+                if mesh is not None:
+                    batch = shard_batch(batch, mesh)
+                state, metrics = step_fn(
+                    state, batch, jax.random.fold_in(rng, current_step))
+                current_step += 1
+
+                if current_step % int(train_opt["print_freq"]) == 0:
+                    l_pix = float(metrics["l_pix"])
+                    logger.info(f"<epoch:{current_epoch:3d}, "
+                                f"iter:{current_step:8,d}> l_pix: "
+                                f"{l_pix:.4e}")
+                    if tb:
+                        tb.add_scalar("l_pix", l_pix, current_step)
+
+                if current_step % int(train_opt["val_freq"]) == 0:
+                    result_path = os.path.join(opt["path"]["results"],
+                                               str(current_epoch))
+                    os.makedirs(result_path, exist_ok=True)
+                    res = run_validation(
+                        opt, eng_val, apply_fn, state.params, result_path,
+                        val_logger, mesh=None, scale=scale)
+                    if tb and res:
+                        for k, v in res.items():
+                            tb.add_scalar(f"val/{k}", v, current_step)
+
+                if current_step % int(
+                        train_opt["save_checkpoint_freq"]) == 0:
+                    state = state.replace(
+                        epoch=jnp.asarray(current_epoch, jnp.int32))
+                    path = save_state(state, opt["path"]["checkpoint"],
+                                      it=current_step, epoch=current_epoch)
+                    logger.info(f"saved checkpoint {path}")
+
+        state = state.replace(epoch=jnp.asarray(current_epoch, jnp.int32))
+        save_state(state, opt["path"]["checkpoint"], it=current_step,
+                   epoch=current_epoch)
+        logger.info("training complete")
+    else:  # val
+        if opt["path"]["resume_state"]:
+            from ..train.checkpoint import load_params_only
+            params = load_params_only(opt["path"]["resume_state"])
+        result_path = opt["path"]["results"]
+        os.makedirs(result_path, exist_ok=True)
+        run_validation(opt, eng_val, apply_fn, params, result_path,
+                       val_logger, mesh=mesh, scale=scale)
+
+
+if __name__ == "__main__":
+    main()

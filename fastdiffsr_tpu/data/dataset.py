@@ -1,0 +1,255 @@
+"""LRHR paired dataset + host input pipeline (torch-free).
+
+Parity target: data/LRHR_dataset.py + data/util.py of the reference —
+- folder tree ``{dataroot}/sr_{l}_{r}``, ``{dataroot}/hr_{r}``, optional
+  ``lr_{l}`` and ``hr_mask_{r}`` (LRHR_dataset.py:28-46)
+- sorted os.walk path collection (util.py:15-24)
+- images -> float32 in [-1, 1] (util.py:68-75 with min_max=(-1,1))
+- train-time random horizontal flip applied to the stacked pair so SR/HR
+  flip together (util.py:68-75). NOTE: the reference flips LR with an
+  *independent* random draw (LR_transform_augment is a separate call,
+  LRHR_dataset.py:106-112) which desynchronizes LR from HR/SR; LR is unused
+  by the diffusion trainer, but we fix the quirk and flip everything with
+  one draw.
+- ``data_len`` truncation (LRHR_dataset.py:46-50)
+
+Batching is NHWC numpy with epoch-seeded shuffling (the TPU-native stand-in
+for DataLoader+DistIterSampler: each JAX process reads its
+``process_index``-strided shard) and a background thread prefetcher.
+
+LMDB is not available in this environment; the packed alternative is the
+``.npy`` pack produced by ``fastdiffsr_tpu.data.prepare`` (datatype
+'npy'/'pack'), which memory-maps one contiguous uint8 array per split for
+maximum host-read throughput.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+IMG_EXTENSIONS = (".jpg", ".JPG", ".jpeg", ".JPEG", ".png", ".PNG",
+                  ".ppm", ".PPM", ".bmp", ".BMP", "tif")
+
+
+def is_image_file(filename: str) -> bool:
+    return filename.endswith(IMG_EXTENSIONS)
+
+
+def get_paths_from_images(path: str) -> list:
+    assert os.path.isdir(path), f"{path} is not a valid directory"
+    images = []
+    for dirpath, _, fnames in sorted(os.walk(path)):
+        for fname in sorted(fnames):
+            if is_image_file(fname):
+                images.append(os.path.join(dirpath, fname))
+    assert images, f"{path} has no valid image file"
+    return sorted(images)
+
+
+def _load_image(path: str) -> np.ndarray:
+    """uint8 HWC RGB."""
+    from PIL import Image
+    with Image.open(path) as im:
+        return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
+
+def to_minus1_1(img_u8: np.ndarray) -> np.ndarray:
+    return img_u8.astype(np.float32) / 255.0 * 2.0 - 1.0
+
+
+class LRHRDataset:
+    """Paired SR(bicubic-up)/HR dataset from a folder tree or a .npy pack."""
+
+    def __init__(self, dataroot: str, datatype: str = "img",
+                 l_resolution: int = 64, r_resolution: int = 256,
+                 split: str = "train", data_len: int = -1,
+                 need_LR: bool = False, img_mask: str = "no"):
+        self.datatype = datatype
+        self.l_res = l_resolution
+        self.r_res = r_resolution
+        self.split = split
+        self.need_LR = need_LR
+
+        if datatype == "img":
+            self.sr_path = get_paths_from_images(
+                f"{dataroot}/sr_{l_resolution}_{r_resolution}")
+            self.hr_path = get_paths_from_images(
+                f"{dataroot}/hr_{r_resolution}")
+            self.hr_mask_path = (
+                get_paths_from_images(f"{dataroot}/hr_mask_{r_resolution}")
+                if img_mask != "no" else None)
+            self.lr_path = (get_paths_from_images(
+                f"{dataroot}/lr_{l_resolution}") if need_LR else None)
+            self.dataset_len = len(self.hr_path)
+            self._pack = None
+        elif datatype in ("npy", "pack"):
+            self._pack = {
+                "SR": np.load(f"{dataroot}/sr_{l_resolution}_{r_resolution}.npy",
+                              mmap_mode="r"),
+                "HR": np.load(f"{dataroot}/hr_{r_resolution}.npy",
+                              mmap_mode="r"),
+            }
+            if need_LR:
+                lr_file = f"{dataroot}/lr_{l_resolution}.npy"
+                if os.path.exists(lr_file):
+                    self._pack["LR"] = np.load(lr_file, mmap_mode="r")
+            self.hr_mask_path = None
+            self.dataset_len = int(self._pack["HR"].shape[0])
+        elif datatype == "lmdb":
+            raise NotImplementedError(
+                "lmdb is unavailable in this environment; convert with "
+                "fastdiffsr_tpu.data.prepare to the 'npy' pack format")
+        else:
+            raise NotImplementedError(f"data_type [{datatype}] unknown")
+
+        self.data_len = (self.dataset_len if data_len <= 0
+                         else min(data_len, self.dataset_len))
+
+    def __len__(self) -> int:
+        return self.data_len
+
+    def __getitem__(self, index: int) -> dict:
+        if self._pack is not None:
+            img_sr = np.asarray(self._pack["SR"][index])
+            img_hr = np.asarray(self._pack["HR"][index])
+            img_lr = (np.asarray(self._pack["LR"][index])
+                      if self.need_LR and "LR" in self._pack else None)
+            img_mask = None
+        else:
+            img_sr = _load_image(self.sr_path[index])
+            img_hr = _load_image(self.hr_path[index])
+            img_lr = (_load_image(self.lr_path[index])
+                      if self.need_LR else None)
+            img_mask = (_load_image(self.hr_mask_path[index])
+                        if self.hr_mask_path else None)
+
+        out = {"HR": to_minus1_1(img_hr), "SR": to_minus1_1(img_sr),
+               "Index": np.int32(index)}
+        if img_lr is not None:
+            out["LR"] = to_minus1_1(img_lr)
+        if img_mask is not None:
+            out["HR_Mask"] = to_minus1_1(img_mask)
+        return out
+
+
+def _maybe_flip(sample: dict, rng: np.random.Generator) -> dict:
+    """One flip draw applied consistently to every image in the sample."""
+    if rng.random() < 0.5:
+        sample = {k: (np.ascontiguousarray(v[:, ::-1, :])
+                      if isinstance(v, np.ndarray) and v.ndim == 3 else v)
+                  for k, v in sample.items()}
+    return sample
+
+
+class DataLoader:
+    """Epoch-seeded shuffling batcher with background prefetch.
+
+    Per-process sharding for multi-host SPMD: pass process_index /
+    process_count (defaults read from jax at iteration time only if
+    shard_by_process=True).
+    """
+
+    def __init__(self, dataset: LRHRDataset, batch_size: int = 1,
+                 shuffle: bool = False, seed: int = 0,
+                 drop_last: Optional[bool] = None,
+                 prefetch: int = 4,
+                 shard_by_process: bool = False,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = shuffle if drop_last is None else drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+        if shard_by_process:
+            import jax
+            process_index = jax.process_index()
+            process_count = jax.process_count()
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def __len__(self):
+        n = len(self.dataset) // self.process_count
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            idx = rng.permutation(n)
+        else:
+            idx = np.arange(n)
+        return idx[self.process_index::self.process_count]
+
+    def __iter__(self) -> Iterator[dict]:
+        aug_rng = np.random.default_rng(
+            (self.seed + 1) * 7919 + self.epoch * 104729
+            + self.process_index)
+        idx = self._indices()
+        batches = []
+        for start in range(0, len(idx), self.batch_size):
+            chunk = idx[start:start + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                break
+            batches.append(chunk)
+        self.epoch += 1
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            try:
+                for chunk in batches:
+                    samples = [self.dataset[int(i)] for i in chunk]
+                    if self.dataset.split == "train":
+                        samples = [_maybe_flip(s, aug_rng) for s in samples]
+                    batch = {k: np.stack([s[k] for s in samples])
+                             for k in samples[0]}
+                    q.put(batch)
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+def create_dataset(dataset_opt: dict, phase: str) -> LRHRDataset:
+    """Reference factory semantics (data/__init__.py:24-40)."""
+    mode = dataset_opt["mode"]
+    return LRHRDataset(
+        dataroot=dataset_opt["dataroot"],
+        datatype=dataset_opt["datatype"],
+        l_resolution=dataset_opt["l_resolution"],
+        r_resolution=dataset_opt["r_resolution"],
+        split=phase,
+        data_len=dataset_opt["data_len"] if dataset_opt["data_len"]
+        is not None else -1,
+        need_LR=(mode == "LRHR"),
+        img_mask=dataset_opt.get("img_mask", "no") or "no",
+    )
+
+
+def create_dataloader(dataset: LRHRDataset, dataset_opt: dict,
+                      phase: str) -> DataLoader:
+    """train: cfg batch/shuffle; val: batch=1 sequential
+    (reference data/__init__.py:7-21)."""
+    if phase == "train":
+        return DataLoader(dataset,
+                          batch_size=dataset_opt["batch_size"],
+                          shuffle=bool(dataset_opt.get("use_shuffle", True)))
+    if phase == "val":
+        return DataLoader(dataset, batch_size=1, shuffle=False)
+    raise NotImplementedError(f"Dataloader [{phase}] is not found.")

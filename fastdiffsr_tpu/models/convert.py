@@ -1,0 +1,165 @@
+"""PyTorch reference checkpoint -> Flax params conversion.
+
+The reference saves ``I{iter}_E{epoch}_gen.pth`` state dicts of the
+GaussianDiffusion wrapper (model/model.py:126-146), whose denoiser keys are
+prefixed ``denoise_fn.``. Our Flax UNet mirrors the torch module tree
+index-for-index, so conversion is a key rewrite plus layout transposes:
+
+- Conv2d weight (O, I, kh, kw)  -> kernel (kh, kw, I, O)
+- Linear weight (O, I)          -> kernel (I, O)
+- 1x1 Conv used as channel MLP (CLAM fc1/fc2) -> Dense kernel (I, O)
+- GroupNorm weight/bias         -> scale/bias
+
+Dead parameters in the reference (ResnetBlocWithAttn.conv — defined but
+unused, unet.py:212; SelfAttention modules never constructed for fastdiffsr)
+are skipped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+
+
+def _conv_w(w) -> np.ndarray:
+    w = np.asarray(w, dtype=np.float32)
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def _dense_w(w) -> np.ndarray:
+    w = np.asarray(w, dtype=np.float32)
+    if w.ndim == 4:  # 1x1 conv used as dense
+        w = w[:, :, 0, 0]
+    return np.transpose(w, (1, 0))
+
+
+def _set(tree: dict, path: tuple, value: np.ndarray):
+    node = tree
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def torch_unet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Convert a torch FastDiffSR UNet state_dict (keys relative to the UNet,
+    i.e. without the ``denoise_fn.`` prefix) to a Flax params dict."""
+    params: dict = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def has(prefix: str) -> bool:
+        return any(k.startswith(prefix) for k in sd)
+
+    for key, val in sd.items():
+        m = re.match(r"noise_level_mlp\.(\d)\.(weight|bias)", key)
+        if m:
+            layer = {"1": "mlp_dense1", "3": "mlp_dense2"}[m.group(1)]
+            if m.group(2) == "weight":
+                _set(params, (layer, "kernel"), _dense_w(val))
+            else:
+                _set(params, (layer, "bias"), val.astype(np.float32))
+            continue
+
+        m = re.match(r"(downs|ups|mid)\.(\d+)\.(.*)", key)
+        if m:
+            lst, i, rest = m.group(1), m.group(2), m.group(3)
+            base = f"{lst}_{i}"
+            _convert_block_entry(params, sd, base, f"{lst}.{i}.", rest, val,
+                                 has)
+            continue
+
+        m = re.match(r"final_conv\.block\.(\d)\.(weight|bias)", key)
+        if m:
+            idx, kind = m.group(1), m.group(2)
+            if idx == "0":
+                name = "scale" if kind == "weight" else "bias"
+                _set(params, ("final_block", "norm", name),
+                     val.astype(np.float32))
+            else:  # conv at index 3
+                if kind == "weight":
+                    _set(params, ("final_block", "conv", "kernel"),
+                         _conv_w(val))
+                else:
+                    _set(params, ("final_block", "conv", "bias"),
+                         val.astype(np.float32))
+            continue
+        # anything else (e.g. diffusion buffers) is ignored by callers that
+        # pass a full GaussianDiffusion state_dict through strip_diffusion().
+    return params
+
+
+def _convert_block_entry(params, sd, base, torch_prefix, rest, val, has):
+    f32 = lambda v: np.asarray(v, dtype=np.float32)
+
+    # stem conv: downs.0.weight / downs.0.bias
+    if rest in ("weight", "bias"):
+        if rest == "weight":
+            _set(params, (base, "kernel"), _conv_w(val))
+        else:
+            _set(params, (base, "bias"), f32(val))
+        return
+
+    # Down/Upsample conv vs the dead 1x1 inside ResnetBlocWithAttn:
+    # a Res block has sibling res_block.* keys; a resize module does not.
+    m = re.match(r"conv\.(weight|bias)$", rest)
+    if m:
+        if has(torch_prefix + "res_block."):
+            return  # dead ResnetBlocWithAttn.conv (unet.py:212) — skip
+        if m.group(1) == "weight":
+            _set(params, (base, "conv", "kernel"), _conv_w(val))
+        else:
+            _set(params, (base, "conv", "bias"), f32(val))
+        return
+
+    m = re.match(r"res_block\.noise_func\.noise_func\.0\.(weight|bias)", rest)
+    if m:
+        if m.group(1) == "weight":
+            _set(params, (base, "res_block", "noise_dense", "kernel"),
+                 _dense_w(val))
+        else:
+            _set(params, (base, "res_block", "noise_dense", "bias"), f32(val))
+        return
+
+    m = re.match(r"res_block\.(block1|block2)\.block\.(\d)\.(weight|bias)",
+                 rest)
+    if m:
+        blk, idx, kind = m.groups()
+        if idx == "0":
+            name = "scale" if kind == "weight" else "bias"
+            _set(params, (base, "res_block", blk, "norm", name), f32(val))
+        else:
+            if kind == "weight":
+                _set(params, (base, "res_block", blk, "conv", "kernel"),
+                     _conv_w(val))
+            else:
+                _set(params, (base, "res_block", blk, "conv", "bias"),
+                     f32(val))
+        return
+
+    m = re.match(r"res_block\.res_conv\.(weight|bias)", rest)
+    if m:
+        if m.group(1) == "weight":
+            _set(params, (base, "res_block", "res_conv", "kernel"),
+                 _conv_w(val))
+        else:
+            _set(params, (base, "res_block", "res_conv", "bias"), f32(val))
+        return
+
+    m = re.match(r"ca\.(fc1|fc2)\.weight", rest)
+    if m:
+        _set(params, (base, "ca", m.group(1), "kernel"), _dense_w(val))
+        return
+
+    if rest == "sa.conv1.weight":
+        _set(params, (base, "sa", "conv", "kernel"), _conv_w(val))
+        return
+    # silently ignore unknown dead keys
+
+
+def strip_diffusion_prefix(state_dict: Dict[str, "np.ndarray"],
+                           prefix: str = "denoise_fn.") -> dict:
+    """Extract the UNet sub-dict from a full GaussianDiffusion state_dict
+    (drops schedule buffers like betas/alphas_cumprod)."""
+    return {k[len(prefix):]: v for k, v in state_dict.items()
+            if k.startswith(prefix)}

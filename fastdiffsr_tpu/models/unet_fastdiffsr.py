@@ -1,0 +1,291 @@
+"""FastDiffSR denoiser UNet in Flax (NHWC, f32 params / selectable compute
+dtype).
+
+Topology parity target: reference model/fastdiffsr_modules/unet.py:224-323 —
+an SR3-style conditional UNet whose attention is the lightweight CLAM/SLAM
+channel+spatial gates (unet.py:123-173) applied only in the first mid block
+(unet.py:274-279; the per-level ``use_attn`` is hardcoded False at
+unet.py:261,284, and the full SelfAttention at unet.py:175 is dead code — we
+deliberately do not instantiate it here).
+
+Submodule naming mirrors the torch module tree index-for-index
+(downs_0..downs_N, mid_0, mid_1, ups_0..ups_M, final_block) so checkpoint
+conversion (models/convert.py) is a mechanical key rewrite. The reference's
+``ResnetBlocWithAttn.conv`` 1x1 (unet.py:212) is defined but never called in
+its forward — it is dead weight and is not recreated here.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def swish(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def positional_encoding(noise_level: jax.Array, dim: int) -> jax.Array:
+    """WaveGrad sinusoidal encoding of a continuous noise level
+    (reference unet.py:22-35). noise_level: (B,) -> (B, dim)."""
+    count = dim // 2
+    step = jnp.arange(count, dtype=noise_level.dtype) / count
+    enc = noise_level[:, None] * jnp.exp(-math.log(1e4) * step)[None, :]
+    return jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
+
+
+class Block(nn.Module):
+    """GroupNorm -> Swish -> Dropout -> 3x3 Conv (reference unet.py:89-101)."""
+
+    dim_out: int
+    groups: int = 32
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                         name="norm")(x)
+        h = swish(h)
+        if self.dropout > 0:
+            h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        h = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv")(h)
+        return h
+
+
+class ResnetBlock(nn.Module):
+    """block1 -> +noise-embedding shift -> block2 + 1x1 skip
+    (reference unet.py:104-120; FeatureWiseAffine additive mode,
+    unet.py:38-54)."""
+
+    dim: int
+    dim_out: int
+    dropout: float = 0.0
+    groups: int = 32
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, noise_emb, *, deterministic: bool = True):
+        h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
+                  name="block1")(x, deterministic=deterministic)
+        shift = nn.Dense(self.dim_out, dtype=self.dtype,
+                         name="noise_dense")(noise_emb)
+        h = h + shift[:, None, None, :]
+        h = Block(self.dim_out, groups=self.groups, dropout=self.dropout,
+                  dtype=self.dtype, name="block2")(
+                      h, deterministic=deterministic)
+        if self.dim != self.dim_out:
+            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
+                        name="res_conv")(x)
+        return h + x
+
+
+class CLAM(nn.Module):
+    """Channel attention gate: shared MLP over Avg- and Max-pooled channel
+    vectors, sigmoid gate (reference unet.py:123-149, CBAM-style)."""
+
+    channels: int
+    ratio: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        avg = jnp.mean(x, axis=(1, 2))          # (B, C)
+        mx = jnp.max(x, axis=(1, 2))            # (B, C)
+        fc1 = nn.Dense(self.channels // self.ratio, use_bias=False,
+                       dtype=self.dtype, name="fc1")
+        fc2 = nn.Dense(self.channels, use_bias=False, dtype=self.dtype,
+                       name="fc2")
+        out = fc2(nn.relu(fc1(avg))) + fc2(nn.relu(fc1(mx)))
+        gate = jax.nn.sigmoid(out)[:, None, None, :]
+        return gate * x
+
+
+class SLAM(nn.Module):
+    """Spatial attention gate: 7x7 conv over [chan-mean, chan-max], sigmoid
+    gate (reference unet.py:151-173)."""
+
+    kernel_size: int = 7
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        avg = jnp.mean(x, axis=-1, keepdims=True)
+        mx = jnp.max(x, axis=-1, keepdims=True)
+        s = jnp.concatenate([avg, mx], axis=-1)
+        k = self.kernel_size
+        s = nn.Conv(1, (k, k), padding=k // 2, use_bias=False,
+                    dtype=self.dtype, name="conv")(s)
+        return jax.nn.sigmoid(s) * x
+
+
+class ResnetBlockWithAttn(nn.Module):
+    """ResnetBlock optionally followed by CLAM then SLAM
+    (reference unet.py:206-222)."""
+
+    dim: int
+    dim_out: int
+    dropout: float = 0.0
+    groups: int = 32
+    with_attn: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, noise_emb, *, deterministic: bool = True):
+        x = ResnetBlock(self.dim, self.dim_out, dropout=self.dropout,
+                        groups=self.groups, dtype=self.dtype,
+                        name="res_block")(x, noise_emb,
+                                          deterministic=deterministic)
+        if self.with_attn:
+            x = CLAM(self.dim_out, dtype=self.dtype, name="ca")(x)
+            x = SLAM(dtype=self.dtype, name="sa")(x)
+        return x
+
+
+class Downsample(nn.Module):
+    """Stride-2 3x3 conv (reference unet.py:77-83)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(self.dim, (3, 3), strides=2, padding=1,
+                       dtype=self.dtype, name="conv")(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 then 3x3 conv (reference unet.py:66-74)."""
+
+    dim: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                       name="conv")(x)
+
+
+class FastDiffSRUNet(nn.Module):
+    """The FastDiffSR conditional UNet (reference unet.py:224-323).
+
+    Default hyperparameters match config/sr_fastdiffsr_train_64_256.json:42-57
+    (inner 64, mults [1,2,4,4], 2 res blocks, dropout 0.2, groups 32).
+    Input x: (B,H,W,in_channel) = concat(bicubic-cond, noisy) along channels;
+    noise_level: (B,) continuous sqrt-alpha-cumprod scalar per sample.
+    """
+
+    in_channel: int = 6
+    out_channel: int = 3
+    inner_channel: int = 64
+    norm_groups: int = 32
+    channel_mults: Sequence[int] = (1, 2, 4, 4)
+    res_blocks: int = 2
+    dropout: float = 0.2
+    with_noise_level_emb: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, noise_level: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        if noise_level.ndim == 2:
+            noise_level = noise_level[:, 0]
+        x = x.astype(self.dtype)
+
+        if self.with_noise_level_emb:
+            t = positional_encoding(
+                noise_level.astype(jnp.float32), self.inner_channel)
+            t = nn.Dense(self.inner_channel * 4, dtype=self.dtype,
+                         name="mlp_dense1")(t)
+            t = swish(t)
+            t = nn.Dense(self.inner_channel, dtype=self.dtype,
+                         name="mlp_dense2")(t)
+        else:
+            t = None
+
+        inner = self.inner_channel
+        num_mults = len(self.channel_mults)
+
+        # --- down path (indices mirror the torch ModuleList) ---
+        feats = []
+        idx = 0
+        x = nn.Conv(inner, (3, 3), padding=1, dtype=self.dtype,
+                    name=f"downs_{idx}")(x)
+        idx += 1
+        feats.append(x)
+        pre = inner
+        feat_channels = [pre]
+        for ind in range(num_mults):
+            is_last = ind == num_mults - 1
+            ch = inner * self.channel_mults[ind]
+            for _ in range(self.res_blocks):
+                x = ResnetBlockWithAttn(
+                    pre, ch, dropout=self.dropout, groups=self.norm_groups,
+                    with_attn=False, dtype=self.dtype,
+                    name=f"downs_{idx}")(x, t, deterministic=deterministic)
+                idx += 1
+                feats.append(x)
+                feat_channels.append(ch)
+                pre = ch
+            if not is_last:
+                x = Downsample(pre, dtype=self.dtype, name=f"downs_{idx}")(x)
+                idx += 1
+                feats.append(x)
+                feat_channels.append(pre)
+
+        # --- mid: [attn, no-attn] (reference unet.py:274-279) ---
+        x = ResnetBlockWithAttn(
+            pre, pre, dropout=self.dropout, groups=self.norm_groups,
+            with_attn=True, dtype=self.dtype,
+            name="mid_0")(x, t, deterministic=deterministic)
+        x = ResnetBlockWithAttn(
+            pre, pre, dropout=self.dropout, groups=self.norm_groups,
+            with_attn=False, dtype=self.dtype,
+            name="mid_1")(x, t, deterministic=deterministic)
+
+        # --- up path with skip-concat ([x, skip] channel order as torch) ---
+        idx = 0
+        for ind in reversed(range(num_mults)):
+            is_last = ind < 1
+            ch = inner * self.channel_mults[ind]
+            for _ in range(self.res_blocks + 1):
+                skip = feats.pop()
+                skip_ch = feat_channels.pop()
+                x = ResnetBlockWithAttn(
+                    pre + skip_ch, ch, dropout=self.dropout,
+                    groups=self.norm_groups, with_attn=False,
+                    dtype=self.dtype, name=f"ups_{idx}")(
+                        jnp.concatenate([x, skip], axis=-1), t,
+                        deterministic=deterministic)
+                idx += 1
+                pre = ch
+            if not is_last:
+                x = Upsample(pre, dtype=self.dtype, name=f"ups_{idx}")(x)
+                idx += 1
+
+        out = Block(self.out_channel, groups=self.norm_groups,
+                    dtype=self.dtype, name="final_block")(
+                        x, deterministic=deterministic)
+        return out.astype(jnp.float32)
+
+
+def unet_from_config(unet_opt: dict, dtype=jnp.float32) -> FastDiffSRUNet:
+    """Build from a reference-schema config dict
+    (model.unet block of config/sr_fastdiffsr_*.json)."""
+    return FastDiffSRUNet(
+        in_channel=unet_opt.get("in_channel", 6),
+        out_channel=unet_opt.get("out_channel", 3),
+        inner_channel=unet_opt.get("inner_channel", 64),
+        norm_groups=unet_opt.get("norm_groups") or 32,
+        channel_mults=tuple(unet_opt.get("channel_multiplier", (1, 2, 4, 4))),
+        res_blocks=unet_opt.get("res_blocks", 2),
+        dropout=unet_opt.get("dropout", 0.0),
+        dtype=dtype,
+    )

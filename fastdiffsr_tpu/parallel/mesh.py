@@ -1,0 +1,47 @@
+"""Device mesh + sharding rules.
+
+TPU-native replacement for the reference's two parallelism mechanisms
+(nn.DataParallel, model/networks.py:116-118; and EDiffSR's NCCL DDP,
+EDiffSR/codes/config/sisr/train.py:28-40): one SPMD program over a
+``jax.sharding.Mesh``. Batches are sharded over the ``data`` axis; params
+are replicated; XLA emits the gradient all-reduce over ICI automatically.
+
+The image models here have no tensor/pipeline-parallel need (SURVEY.md
+§2.6) — DP is the whole story, so the mesh is 1-D. A ``space`` axis is
+reserved for future spatial sharding of very large tiles (halo exchange
+under shard_map), unused by default.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) dim split across the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch, mesh: Mesh):
+    """Place a host batch dict onto the mesh, sharded on the leading axis."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

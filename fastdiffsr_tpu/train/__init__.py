@@ -1,0 +1,5 @@
+from .state import TrainState, create_train_state
+from .steps import make_train_step, make_sample_fn
+
+__all__ = ["TrainState", "create_train_state", "make_train_step",
+           "make_sample_fn"]

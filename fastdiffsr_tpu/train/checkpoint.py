@@ -1,0 +1,86 @@
+"""Checkpoint save/resume with reference-compatible naming.
+
+Reference semantics (model/model.py:126-166): per save point two files
+``I{iter}_E{epoch}_gen.pth`` (params) + ``I{iter}_E{epoch}_opt.pth``
+(optimizer + counters); config resume points at the path *prefix*.
+
+Here one Orbax/flat-numpy checkpoint directory ``I{iter}_E{epoch}`` holds
+{params, ema_params, opt_state, step, epoch}; ``load_state`` accepts the
+same prefix convention. A converter from reference ``_gen.pth`` files lives
+in models/convert.py.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Optional
+
+import jax
+import numpy as np
+
+from .state import TrainState
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_state(state: TrainState, ckpt_dir: str, *, it: Optional[int] = None,
+               epoch: Optional[int] = None) -> str:
+    it = int(state.step) if it is None else it
+    epoch = int(state.epoch) if epoch is None else epoch
+    path = os.path.join(ckpt_dir, f"I{it}_E{epoch}")
+    os.makedirs(path, exist_ok=True)
+    payload = {
+        "step": int(state.step),
+        "epoch": int(epoch),
+        "params": _to_numpy_tree(state.params),
+        "ema_params": _to_numpy_tree(state.ema_params),
+        "opt_state": _to_numpy_tree(state.opt_state),
+    }
+    tmp = os.path.join(path, "state.pkl.tmp")
+    with open(tmp, "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    os.replace(tmp, os.path.join(path, "state.pkl"))
+    return path
+
+
+def load_state(prefix: str, template: TrainState) -> TrainState:
+    """Load from a checkpoint dir or reference-style prefix
+    ('.../I896896_E196')."""
+    path = prefix if os.path.isdir(prefix) else prefix
+    state_file = os.path.join(path, "state.pkl")
+    with open(state_file, "rb") as f:
+        payload = pickle.load(f)
+
+    def restore(tmpl, loaded):
+        return jax.tree_util.tree_map(
+            lambda t, l: jax.numpy.asarray(l, getattr(t, "dtype", None)),
+            tmpl, loaded)
+
+    import jax.numpy as jnp
+    return template.replace(
+        step=jnp.asarray(payload["step"], jnp.int32),
+        epoch=jnp.asarray(payload["epoch"], jnp.int32),
+        params=restore(template.params, payload["params"]),
+        ema_params=restore(template.ema_params, payload["ema_params"]),
+        opt_state=restore(template.opt_state, payload["opt_state"]),
+    )
+
+
+def load_params_only(prefix: str) -> dict:
+    with open(os.path.join(prefix, "state.pkl"), "rb") as f:
+        payload = pickle.load(f)
+    return payload["params"]
+
+
+def load_reference_gen_pth(path: str) -> dict:
+    """Convert a reference ``*_gen.pth`` (GaussianDiffusion state_dict) into
+    Flax UNet params (requires torch)."""
+    import torch
+
+    from ..models.convert import strip_diffusion_prefix, torch_unet_to_flax
+    sd = torch.load(path, map_location="cpu")
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return torch_unet_to_flax(strip_diffusion_prefix(sd))

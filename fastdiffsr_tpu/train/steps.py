@@ -1,0 +1,110 @@
+"""Jitted train / sample steps with SPMD data-parallel sharding.
+
+``make_train_step`` compiles one XLA program per mesh: batch sharded over
+the ``data`` axis, params/opt-state replicated; gradient all-reduce is
+emitted by XLA (replaces nn.DataParallel / DDP of the reference).
+
+``make_sample_fn`` compiles the full T-step reverse diffusion (a lax.scan
+inside the program — see diffusion/engine.py) into one program; with a mesh
+it runs batched across chips, which is the benchmark path
+(SR images/sec/chip, SURVEY.md §6).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..diffusion.engine import DiffusionEngine
+from ..parallel.mesh import batch_sharding, replicated_sharding
+from .state import TrainState
+
+
+def make_train_step(engine: DiffusionEngine,
+                    apply_fn: Callable,
+                    tx: optax.GradientTransformation,
+                    ema_decay: float = 0.9999,
+                    ema_start: int = 5000,
+                    mesh=None):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    apply_fn(params, x_in, noise_level, rng) -> model output; dropout rng is
+    threaded through. Loss normalization matches the reference
+    (sum/(b*c*h*w) == mean; model/model.py:47-57).
+    """
+
+    def loss_fn(params, batch, rng):
+        rng_diff, rng_drop = jax.random.split(rng)
+
+        def denoise(x_in, level):
+            return apply_fn(params, x_in, level, rng_drop)
+
+        return engine.training_loss(denoise, batch, rng_diff)
+
+    def train_step(state: TrainState, batch: dict, rng: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+
+        # EMA: plain copy until ema_start, then exponential average
+        # (reference config ema_scheduler block; implemented for real here)
+        decay = jnp.where(state.step >= ema_start, ema_decay, 0.0)
+        ema_params = jax.tree_util.tree_map(
+            lambda e, p: decay * e + (1.0 - decay) * p,
+            state.ema_params, params)
+
+        new_state = state.replace(step=state.step + 1, params=params,
+                                  opt_state=opt_state, ema_params=ema_params)
+        metrics = {"l_pix": loss,
+                   "grad_norm": optax.global_norm(grads)}
+        return new_state, metrics
+
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, data, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=(0,),
+    )
+
+
+def make_sample_fn(engine: DiffusionEngine,
+                   apply_fn: Callable,
+                   mesh=None,
+                   return_trajectory: bool = False):
+    """Returns sample(params, cond, rng) -> SR batch (B,H,W,C).
+
+    The whole T-step reverse loop compiles to one XLA program. ``cond`` is
+    the bicubic-upsampled LR batch in [-1, 1].
+    """
+
+    def denoiser(params):
+        def fn(x_in, level):
+            return apply_fn(params, x_in, level, None)
+        return fn
+
+    def sample(params, cond, rng):
+        return engine.sample(denoiser(params), cond, rng,
+                             return_trajectory=return_trajectory)
+
+    if mesh is None:
+        return jax.jit(sample)
+
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    if return_trajectory:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        traj_sh = NamedSharding(mesh, P(None, "data"))  # (T, B, ...) — shard B
+        out = (data, traj_sh)
+    else:
+        out = data
+    return jax.jit(sample, in_shardings=(repl, data, repl),
+                   out_shardings=out)

@@ -1,0 +1,41 @@
+"""Dual file/console loggers (reference core/logger.py:128-141): a 'base'
+train logger and a 'val' logger, each writing ``{phase}.log`` under the run
+dir, plus optional TensorBoard via tensorboardX."""
+
+from __future__ import annotations
+
+import logging
+import os
+
+
+def setup_logger(logger_name: str, root: str, phase: str,
+                 level=logging.INFO, screen: bool = False) -> logging.Logger:
+    logger = logging.getLogger(logger_name)
+    if logger.handlers:
+        return logger
+    formatter = logging.Formatter(
+        "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s",
+        datefmt="%y-%m-%d %H:%M:%S")
+    os.makedirs(root, exist_ok=True)
+    fh = logging.FileHandler(os.path.join(root, f"{phase}.log"), mode="w")
+    fh.setFormatter(formatter)
+    logger.setLevel(level)
+    logger.addHandler(fh)
+    if screen:
+        sh = logging.StreamHandler()
+        sh.setFormatter(formatter)
+        logger.addHandler(sh)
+    return logger
+
+
+def get_logger(name: str = "base") -> logging.Logger:
+    return logging.getLogger(name)
+
+
+def make_tb_writer(log_dir: str):
+    """TensorBoard writer or None when tensorboardX is unavailable."""
+    try:
+        from tensorboardX import SummaryWriter
+        return SummaryWriter(log_dir=log_dir)
+    except Exception:
+        return None

@@ -7,7 +7,6 @@ Must set the env vars before jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,6 +16,17 @@ import pathlib
 import sys
 
 import pytest
+
+import jax
+
+# The driver environment pre-sets JAX_PLATFORMS=axon (TPU) and the plugin
+# wins over the env var — force the CPU backend through the config API.
+jax.config.update("jax_platforms", "cpu")
+# This XLA:CPU build computes DEFAULT-precision f32 convs/matmuls at
+# bf16-level accuracy (~1e-2 abs on unit-scale data). Parity tests need
+# true f32: force HIGHEST. (TPU runs keep the fast default; precision is a
+# per-model knob there.)
+jax.config.update("jax_default_matmul_precision", "highest")
 
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO_ROOT))

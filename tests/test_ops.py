@@ -1,0 +1,59 @@
+"""Fused GroupNorm+Swish op: XLA path vs manual math, and the Pallas kernel
+in interpreter mode vs the XLA path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdiffsr_tpu.ops.groupnorm import (_gn_swish_reference,
+                                          _gn_swish_pallas, group_norm_swish)
+
+
+def _inputs(seed=0, b=2, h=8, w=8, c=16):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.standard_normal((b, h, w, c)), jnp.float32)
+    scale = jnp.asarray(rng.uniform(0.5, 1.5, (c,)), jnp.float32)
+    bias = jnp.asarray(rng.uniform(-0.3, 0.3, (c,)), jnp.float32)
+    return x, scale, bias
+
+
+def _manual(x, scale, bias, groups, eps=1e-5):
+    b, h, w, c = x.shape
+    x = np.asarray(x, np.float64)
+    cg = c // groups
+    xr = x.reshape(b, h * w, groups, cg)
+    mean = xr.mean(axis=(1, 3), keepdims=True)
+    var = xr.var(axis=(1, 3), keepdims=True)
+    xn = ((xr - mean) / np.sqrt(var + eps)).reshape(b, h, w, c)
+    y = xn * np.asarray(scale) + np.asarray(bias)
+    return y / (1 + np.exp(-y)) * 1.0 if False else y * (1 / (1 + np.exp(-y)))
+
+
+def test_xla_path_matches_manual():
+    x, scale, bias = _inputs()
+    got = np.asarray(_gn_swish_reference(x, scale, bias, groups=4, eps=1e-5))
+    want = _manual(x, scale, bias, groups=4)
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_matches_flax_groupnorm_plus_swish():
+    from flax import linen as nn
+    x, scale, bias = _inputs(1)
+    gn = nn.GroupNorm(num_groups=4, epsilon=1e-5)
+    params = {"scale": scale, "bias": bias}
+    y = gn.apply({"params": params}, x)
+    want = np.asarray(y * jax.nn.sigmoid(y))
+    got = np.asarray(group_norm_swish(x, scale, bias, groups=4,
+                                      use_pallas=False))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_pallas_interpret_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+    x, scale, bias = _inputs(2)
+    want = np.asarray(_gn_swish_reference(x, scale, bias, 4, 1e-5))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_gn_swish_pallas(x, scale, bias, 4, 1e-5))
+    np.testing.assert_allclose(got, want, atol=1e-5)

@@ -1,0 +1,127 @@
+"""Train step: loss decreases on a fixed batch; EMA semantics; 8-device DP
+sharding produces identical math to single-device."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdiffsr_tpu.diffusion import DiffusionSpec, DiffusionEngine, ScheduleBuffers
+from fastdiffsr_tpu.models import FastDiffSRUNet
+from fastdiffsr_tpu.parallel import make_mesh, shard_batch
+from fastdiffsr_tpu.train import create_train_state, make_train_step
+from fastdiffsr_tpu.train.state import make_optimizer
+
+SCHED = {"schedule": "linear_cosine", "n_timestep": 20,
+         "linear_start": 1e-6, "linear_end": 1e-2}
+
+
+def _tiny_setup(dropout=0.0):
+    engine = DiffusionEngine(DiffusionSpec.for_variant("fastdiffsr"),
+                             ScheduleBuffers.create(SCHED))
+    net = FastDiffSRUNet(in_channel=6, out_channel=3, inner_channel=8,
+                         norm_groups=4, channel_mults=(1, 2), res_blocks=1,
+                         dropout=dropout)
+    params = net.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 6)),
+                      jnp.ones((1,)))["params"]
+
+    def apply_fn(params, x_in, level, rng):
+        kwargs = {}
+        if rng is not None and dropout > 0:
+            kwargs = {"rngs": {"dropout": rng}, "deterministic": False}
+        return net.apply({"params": params}, x_in, level, **kwargs)
+
+    return engine, net, params, apply_fn
+
+
+def _batch(rng_seed=0, b=8, size=16):
+    rng = np.random.default_rng(rng_seed)
+    return {
+        "HR": jnp.asarray(rng.uniform(-1, 1, (b, size, size, 3)),
+                          jnp.float32),
+        "SR": jnp.asarray(rng.uniform(-1, 1, (b, size, size, 3)),
+                          jnp.float32),
+    }
+
+
+def test_loss_decreases():
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 2e-3})
+    state = create_train_state(params, tx)
+    step = make_train_step(engine, apply_fn, tx, ema_start=10_000)
+
+    batch = _batch()
+    rng = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(30):
+        state, metrics = step(state, batch, jax.random.fold_in(rng, i % 4))
+        losses.append(float(metrics["l_pix"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert int(state.step) == 30
+
+
+def test_ema_before_start_tracks_params():
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 1e-3})
+    state = create_train_state(params, tx)
+    step = make_train_step(engine, apply_fn, tx, ema_start=1000)
+    state, _ = step(state, _batch(), jax.random.PRNGKey(0))
+    # before ema_start, ema == params exactly
+    diffs = jax.tree_util.tree_map(
+        lambda e, p: float(jnp.max(jnp.abs(e - p))),
+        state.ema_params, state.params)
+    assert max(jax.tree_util.tree_leaves(diffs)) == 0.0
+
+
+def test_ema_after_start_lags_params():
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 1e-3})
+    state = create_train_state(params, tx)
+    step = make_train_step(engine, apply_fn, tx, ema_decay=0.9,
+                           ema_start=0)
+    s1, _ = step(state, _batch(), jax.random.PRNGKey(0))
+    # step=0 >= ema_start=0 -> ema = 0.9*old + 0.1*new != new
+    leaves_e = jax.tree_util.tree_leaves(s1.ema_params)
+    leaves_p = jax.tree_util.tree_leaves(s1.params)
+    assert any(float(jnp.max(jnp.abs(e - p))) > 0
+               for e, p in zip(leaves_e, leaves_p))
+
+
+def test_dp_sharded_matches_single_device():
+    assert jax.device_count() >= 8, "conftest must force 8 cpu devices"
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 1e-3})
+    batch = _batch(b=8)
+    rng = jax.random.PRNGKey(7)
+
+    state_a = create_train_state(params, tx)
+    step_a = make_train_step(engine, apply_fn, tx, ema_start=10_000)
+    state_a, m_a = step_a(state_a, batch, rng)
+
+    mesh = make_mesh(8)
+    state_b = create_train_state(params, tx)
+    step_b = make_train_step(engine, apply_fn, tx, ema_start=10_000,
+                             mesh=mesh)
+    state_b, m_b = step_b(state_b, shard_batch(batch, mesh), rng)
+
+    np.testing.assert_allclose(float(m_a["l_pix"]), float(m_b["l_pix"]),
+                               rtol=1e-5)
+    la = jax.tree_util.tree_leaves(state_a.params)
+    lb = jax.tree_util.tree_leaves(state_b.params)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_sample_fn_sharded():
+    from fastdiffsr_tpu.train import make_sample_fn
+    engine, net, params, apply_fn = _tiny_setup()
+    mesh = make_mesh(8)
+    sample = make_sample_fn(engine, apply_fn, mesh=mesh)
+    cond = jnp.zeros((8, 16, 16, 3))
+    cond = shard_batch({"c": cond}, mesh)["c"]
+    out = sample(params, cond, jax.random.PRNGKey(0))
+    assert out.shape == (8, 16, 16, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
