@@ -27,6 +27,8 @@ def build_all(opt, phase: str, mesh=None):
 
     from ..diffusion import DiffusionSpec, DiffusionEngine, ScheduleBuffers
     from ..models.unet_fastdiffsr import unet_from_config
+    from ..models.unet_guided import guided_unet_from_config
+    from ..models.unet_sr3 import sr3_unet_from_config
 
     model_opt = opt["model"]
     variant = model_opt["which_model_G"]
@@ -35,7 +37,16 @@ def build_all(opt, phase: str, mesh=None):
     eng_train = DiffusionEngine(spec, ScheduleBuffers.create(sched["train"]))
     eng_val = DiffusionEngine(spec, ScheduleBuffers.create(sched["val"]))
 
-    net = unet_from_config(model_opt["unet"])
+    image_size = int(model_opt["diffusion"]["image_size"])
+    if variant == "fastdiffsr":
+        net = unet_from_config(model_opt["unet"])
+    elif variant in ("ddpm", "tesr"):
+        net = sr3_unet_from_config(model_opt["unet"], image_size=image_size)
+    elif variant == "gdp":
+        net = guided_unet_from_config(model_opt["unet"],
+                                      image_size=image_size)
+    else:
+        raise ValueError(f"unknown which_model_G: {variant}")
 
     def apply_fn(params, x_in, level, rng):
         kwargs = {}
@@ -154,9 +165,13 @@ def main(argv=None):
 
     scale = infer_scale(opt)
     n_dev = jax.local_device_count()
-    mesh = make_mesh() if n_dev > 1 else None
+    # DP mesh size must divide the global batch
+    import math as _math
+    bsz = int(opt["datasets"]["train"]["batch_size"] or 1)
+    n_mesh = _math.gcd(bsz, n_dev)
+    mesh = make_mesh(n_mesh) if n_mesh > 1 else None
     logger.info(f"devices: {n_dev} ({jax.default_backend()}), "
-                f"scale x{scale}")
+                f"mesh: {n_mesh}, scale x{scale}")
 
     eng_train, eng_val, net, apply_fn, params = build_all(opt, args.phase,
                                                           mesh)
@@ -233,8 +248,9 @@ def main(argv=None):
             params = load_params_only(opt["path"]["resume_state"])
         result_path = opt["path"]["results"]
         os.makedirs(result_path, exist_ok=True)
+        # val loader is batch=1 (reference semantics) — no DP mesh
         run_validation(opt, eng_val, apply_fn, params, result_path,
-                       val_logger, mesh=mesh, scale=scale)
+                       val_logger, mesh=None, scale=scale)
 
 
 if __name__ == "__main__":

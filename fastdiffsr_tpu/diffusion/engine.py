@@ -59,14 +59,20 @@ class DiffusionSpec:
             return cls(prediction="noise", conditioning="continuous_gamma",
                        target_space="residual", loss="l1")
         if name == "ddpm":
-            return cls(prediction="noise", conditioning="continuous_gamma",
+            # discrete per-sample t, HR space (ddpm_modules/diffusion.py:
+            # 260-295); denoiser embeds the integer timestep
+            return cls(prediction="noise", conditioning="discrete_t",
                        target_space="hr", loss="l1")
         if name == "tesr":
+            # continuous gamma like fastdiffsr but HR space + Charbonnier
+            # (tesr_modules/diffusion.py:86-93,225-251)
             return cls(prediction="noise", conditioning="continuous_gamma",
                        target_space="hr", loss="charbonnier")
         if name == "gdp":
-            # reference maps loss 'l1' to MSE (gdp_modules/diffusion.py:100)
-            return cls(prediction="x0", conditioning="continuous_gamma",
+            # x0 prediction, discrete t, MSE even for 'l1'
+            # (gdp_modules/diffusion.py:100-103,184-195,277-297);
+            # packing order cat([x, cond])
+            return cls(prediction="x0", conditioning="discrete_t",
                        target_space="hr", loss="l2", cond_order="x_first")
         raise ValueError(f"unknown diffusion variant: {name}")
 
@@ -140,13 +146,23 @@ class DiffusionEngine:
             x_start = x_hr
 
         bsz = x_start.shape[0]
-        rng_gamma, rng_noise = jax.random.split(rng)
-        gamma, _ = self.sample_gammas(rng_gamma, bsz)
+        rng_level, rng_noise = jax.random.split(rng)
         noise = jax.random.normal(rng_noise, x_start.shape, x_start.dtype)
-        x_noisy = self.q_sample(x_start, gamma, noise)
+        if spec.conditioning == "continuous_gamma":
+            gamma, _ = self.sample_gammas(rng_level, bsz)
+            x_noisy = self.q_sample(x_start, gamma, noise)
+            level = gamma
+        else:  # discrete_t: per-sample t ~ U{0..T-1}, fixed-gamma q_sample
+            b = self.buffers
+            t = jax.random.randint(rng_level, (bsz,), 0, b.num_timesteps)
+            shape1 = (-1,) + (1,) * (x_start.ndim - 1)
+            x_noisy = (b.sqrt_alphas_cumprod[t].reshape(shape1) * x_start
+                       + b.sqrt_one_minus_alphas_cumprod[t].reshape(shape1)
+                       * noise)
+            level = t.astype(jnp.float32)
 
         x_in = self._pack(x_noisy, img_lr_up)
-        pred = denoise_fn(x_in, gamma)
+        pred = denoise_fn(x_in, level)
 
         target = x_start if spec.prediction == "x0" else noise
         return self._loss(target, pred)
@@ -231,7 +247,10 @@ class DiffusionEngine:
         def step(carry, c):
             x = carry
             t_idx = c["t"]
-            level = jnp.full((bsz,), c["noise_level"], jnp.float32)
+            if spec.conditioning == "discrete_t":
+                level = jnp.full((bsz,), t_idx, jnp.float32)
+            else:
+                level = jnp.full((bsz,), c["noise_level"], jnp.float32)
             x_in = self._pack(x, cond)
             model_out = denoise_fn(x_in, level).astype(jnp.float32)
             if spec.prediction == "x0":

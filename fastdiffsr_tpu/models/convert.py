@@ -52,7 +52,9 @@ def torch_unet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
         return any(k.startswith(prefix) for k in sd)
 
     for key, val in sd.items():
-        m = re.match(r"noise_level_mlp\.(\d)\.(weight|bias)", key)
+        # fastdiffsr names the time MLP 'noise_level_mlp'; ddpm/tesr 'time_mlp'
+        m = re.match(r"(?:noise_level_mlp|time_mlp)\.(\d)\.(weight|bias)",
+                     key)
         if m:
             layer = {"1": "mlp_dense1", "3": "mlp_dense2"}[m.group(1)]
             if m.group(2) == "weight":
@@ -121,6 +123,30 @@ def _convert_block_entry(params, sd, base, torch_prefix, rest, val, has):
             _set(params, (base, "res_block", "noise_dense", "bias"), f32(val))
         return
 
+    # SR3 (ddpm/tesr) time MLP inside ResnetBlock: Sequential(Swish, Linear)
+    m = re.match(r"res_block\.mlp\.1\.(weight|bias)", rest)
+    if m:
+        if m.group(1) == "weight":
+            _set(params, (base, "res_block", "mlp_dense", "kernel"),
+                 _dense_w(val))
+        else:
+            _set(params, (base, "res_block", "mlp_dense", "bias"), f32(val))
+        return
+
+    # SR3 SelfAttention: norm (GN) + qkv (1x1, no bias) + out (1x1)
+    m = re.match(r"attn\.(norm|qkv|out)\.(weight|bias)", rest)
+    if m:
+        which, kind = m.groups()
+        if which == "norm":
+            name = "scale" if kind == "weight" else "bias"
+            _set(params, (base, "attn", "norm", name), f32(val))
+        else:
+            if kind == "weight":
+                _set(params, (base, "attn", which, "kernel"), _conv_w(val))
+            else:
+                _set(params, (base, "attn", which, "bias"), f32(val))
+        return
+
     m = re.match(r"res_block\.(block1|block2)\.block\.(\d)\.(weight|bias)",
                  rest)
     if m:
@@ -155,6 +181,103 @@ def _convert_block_entry(params, sd, base, torch_prefix, rest, val, has):
         _set(params, (base, "sa", "conv", "kernel"), _conv_w(val))
         return
     # silently ignore unknown dead keys
+
+
+def torch_guided_unet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Convert an OpenAI guided-diffusion UNet state_dict (gdp variant,
+    reference model/gdp_modules/unet.py:530-771) to GuidedUNet params.
+
+    torch tree -> flax names:
+      time_embed.{0,2}                  -> time_dense{1,2}
+      input_blocks.i.j.*                -> input_{i}_{j}
+      middle_block.j.*                  -> middle_{j}
+      output_blocks.i.j.*               -> output_{i}_{j}
+      out.{0,2}                         -> out_norm / out_conv
+    ResBlock leaves: in_layers.0->in_norm, in_layers.2->in_conv,
+    emb_layers.1->emb_dense, out_layers.0->out_norm, out_layers.3->out_conv,
+    skip_connection->skip. Attention leaves: norm, qkv (conv1d), proj_out.
+    """
+    params: dict = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def put(path, key, kind, val):
+        f32 = np.asarray(val, dtype=np.float32)
+        if kind == "norm":
+            name = "scale" if key == "weight" else "bias"
+            _set(params, path + (name,), f32)
+        elif kind == "dense":
+            _set(params, path + ("kernel" if key == "weight" else "bias",),
+                 _dense_w(val) if key == "weight" else f32)
+        elif kind == "conv1d":  # (O, I, 1) -> dense (I, O)
+            if key == "weight":
+                _set(params, path + ("kernel",),
+                     np.transpose(val[:, :, 0], (1, 0)).astype(np.float32))
+            else:
+                _set(params, path + ("bias",), f32)
+        else:  # conv2d
+            _set(params, path + ("kernel" if key == "weight" else "bias",),
+                 _conv_w(val) if key == "weight" else f32)
+
+    res_map = {
+        "in_layers.0": ("in_norm", "norm"),
+        "in_layers.2": ("in_conv", "conv"),
+        "emb_layers.1": ("emb_dense", "dense"),
+        "out_layers.0": ("out_norm", "norm"),
+        "out_layers.3": ("out_conv", "conv"),
+        "skip_connection": ("skip", "conv"),
+    }
+    attn_map = {
+        "norm": ("norm", "norm"),
+        "qkv": ("qkv", "conv1d"),
+        "proj_out": ("proj_out", "conv1d"),
+    }
+
+    for key, val in sd.items():
+        m = re.match(r"time_embed\.(0|2)\.(weight|bias)", key)
+        if m:
+            name = "time_dense1" if m.group(1) == "0" else "time_dense2"
+            put((name,), m.group(2), "dense", val)
+            continue
+
+        m = re.match(r"out\.(0|2)\.(weight|bias)", key)
+        if m:
+            if m.group(1) == "0":
+                put(("out_norm",), m.group(2), "norm", val)
+            else:
+                put(("out_conv",), m.group(2), "conv", val)
+            continue
+
+        m = re.match(r"input_blocks\.0\.0\.(weight|bias)$", key)
+        if m:  # stem conv
+            put(("input_0_0",), m.group(1), "conv", val)
+            continue
+
+        m = re.match(r"input_blocks\.(\d+)\.(\d+)\.(.+)\.(weight|bias)$",
+                     key)
+        if m:
+            i, j, inner, kind = m.groups()
+            sub = res_map.get(inner) or attn_map.get(inner)
+            if sub:
+                put((f"input_{i}_{j}", sub[0]), kind, sub[1], val)
+            continue
+
+        m = re.match(r"middle_block\.(\d+)\.(.+)\.(weight|bias)$", key)
+        if m:
+            j, inner, kind = m.groups()
+            sub = res_map.get(inner) or attn_map.get(inner)
+            if sub:
+                put((f"middle_{j}", sub[0]), kind, sub[1], val)
+            continue
+
+        m = re.match(r"output_blocks\.(\d+)\.(\d+)\.(.+)\.(weight|bias)$",
+                     key)
+        if m:
+            i, j, inner, kind = m.groups()
+            sub = res_map.get(inner) or attn_map.get(inner)
+            if sub:
+                put((f"output_{i}_{j}", sub[0]), kind, sub[1], val)
+            continue
+    return params
 
 
 def strip_diffusion_prefix(state_dict: Dict[str, "np.ndarray"],

@@ -1,0 +1,209 @@
+"""ConditionalNAFNet — EDiffSR's denoiser (Flax, NHWC).
+
+Parity target: EDiffSR/codes/config/sisr/models/modules/
+DenoisingNAFNet_arch.py —
+- NAFBlock (:15-86): channel-LayerNorm (no bias, biased var, scale only —
+  module_util.py:74-83) -> time scale/shift -> 1x1 expand -> 3x3 depthwise
+  -> SimpleGate -> simplified channel attention -> 1x1, residual scaled by
+  learnable beta; then the FFN half with gamma;
+- time MLP: sinusoidal emb -> Linear(w, 8w) -> SimpleGate -> Linear(4w, 4w)
+  (:174-181);
+- topology (:165-264): input cat([x - mu, mu]) -> intro conv -> RCAB
+  enhance (+residual) -> enc stages (NAFBlocks + 2x2 stride-2 down conv,
+  channels double) -> middle -> dec stages (1x1 conv + pixel-shuffle up,
+  additive skips) -> ending conv, crop to input size;
+- default EDiffSR config: width 64, enc [14,1,1,1], dec [1,1,1,1], middle 1
+  (options/train/setting_mfe_Train_x4.yml).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def sinusoidal_pos_emb(x: jax.Array, dim: int) -> jax.Array:
+    """module_util.py:29-45 (half-1 denominator variant)."""
+    half = dim // 2
+    scale = math.log(10000) / (half - 1)
+    freqs = jnp.exp(jnp.arange(half, dtype=jnp.float32) * -scale)
+    emb = x[:, None].astype(jnp.float32) * freqs[None, :]
+    return jnp.concatenate([jnp.sin(emb), jnp.cos(emb)], axis=-1)
+
+
+def simple_gate(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return x1 * x2
+
+
+def channel_layer_norm(x: jax.Array, g: jax.Array,
+                       eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the channel axis, scale-only, biased variance."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mean) ** 2, axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * g
+
+
+def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
+    """torch.nn.PixelShuffle semantics on NHWC (channel index c*r^2+i*r+j)."""
+    b, h, w, c = x.shape
+    c_out = c // (r * r)
+    x = x.reshape(b, h, w, c_out, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)
+    return x.reshape(b, h * r, w * r, c_out)
+
+
+class NAFBlock(nn.Module):
+    c: int
+    time_dim: int
+    dw_expand: int = 2
+    ffn_expand: int = 2
+    dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, t_emb, *, deterministic: bool = True):
+        c = self.c
+        dw = c * self.dw_expand
+
+        # time modulation: SimpleGate -> Linear(time_dim/2, 4c) -> 4 chunks
+        te = simple_gate(t_emb)
+        te = nn.Dense(c * 4, dtype=self.dtype, name="time_dense")(te)
+        shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(
+            te[:, None, None, :], 4, axis=-1)
+
+        g1 = self.param("norm1_g", nn.initializers.ones_init(), (c,))
+        g2 = self.param("norm2_g", nn.initializers.ones_init(), (c,))
+        beta = self.param("beta", nn.initializers.zeros_init(), (c,))
+        gamma = self.param("gamma", nn.initializers.zeros_init(), (c,))
+
+        inp = x
+        x = channel_layer_norm(x, g1)
+        x = x * (scale_att + 1) + shift_att
+        x = nn.Conv(dw, (1, 1), dtype=self.dtype, name="conv1")(x)
+        x = nn.Conv(dw, (3, 3), padding=1, feature_group_count=dw,
+                    dtype=self.dtype, name="conv2")(x)
+        x = simple_gate(x)
+        sca = jnp.mean(x, axis=(1, 2), keepdims=True)
+        sca = nn.Conv(dw // 2, (1, 1), dtype=self.dtype, name="sca_conv")(sca)
+        x = x * sca
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv3")(x)
+        if self.dropout > 0:
+            x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        y = inp + x * beta
+
+        x = channel_layer_norm(y, g2)
+        x = x * (scale_ffn + 1) + shift_ffn
+        x = nn.Conv(c * self.ffn_expand, (1, 1), dtype=self.dtype,
+                    name="conv4")(x)
+        x = simple_gate(x)
+        x = nn.Conv(c, (1, 1), dtype=self.dtype, name="conv5")(x)
+        if self.dropout > 0:
+            x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        return y + x * gamma
+
+
+class RCAB(nn.Module):
+    """Residual channel attention block (DenoisingNAFNet_arch.py:121-141)."""
+
+    num_feat: int
+    squeeze: int = 16
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv1")(x)
+        h = nn.relu(h)
+        h = nn.Conv(self.num_feat, (3, 3), padding=1, dtype=self.dtype,
+                    name="conv2")(h)
+        a = jnp.mean(h, axis=(1, 2), keepdims=True)
+        a = nn.Conv(self.num_feat // self.squeeze, (1, 1), dtype=self.dtype,
+                    name="ca_fc1")(a)
+        a = nn.relu(a)
+        a = nn.Conv(self.num_feat, (1, 1), dtype=self.dtype,
+                    name="ca_fc2")(a)
+        h = h * jax.nn.sigmoid(a)
+        return h + x
+
+
+class ConditionalNAFNet(nn.Module):
+    img_channel: int = 3
+    width: int = 16
+    middle_blk_num: int = 1
+    enc_blk_nums: Sequence[int] = ()
+    dec_blk_nums: Sequence[int] = ()
+    upscale: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, inp: jax.Array, cond: jax.Array, time: jax.Array, *,
+                 deterministic: bool = True) -> jax.Array:
+        w = self.width
+        if time.ndim == 0:
+            time = time[None]
+        t = sinusoidal_pos_emb(time, w)
+        t = nn.Dense(w * 8, dtype=self.dtype, name="time_dense1")(t)
+        t = simple_gate(t)
+        t = nn.Dense(w * 4, dtype=self.dtype, name="time_dense2")(t)
+
+        x = jnp.concatenate([inp - cond, cond], axis=-1).astype(self.dtype)
+        B, H, W, C = x.shape
+        pad_sz = 2 ** len(self.enc_blk_nums)
+        ph = (pad_sz - H % pad_sz) % pad_sz
+        pw = (pad_sz - W % pad_sz) % pad_sz
+        if ph or pw:
+            x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+        x = nn.Conv(w, (3, 3), padding=1, dtype=self.dtype, name="intro")(x)
+        x = x + RCAB(w, dtype=self.dtype, name="enhance")(x)
+
+        chan = w
+        encs = []
+        for i, num in enumerate(self.enc_blk_nums):
+            for j in range(num):
+                x = NAFBlock(chan, w * 4, dtype=self.dtype,
+                             name=f"enc_{i}_{j}")(
+                                 x, t, deterministic=deterministic)
+            encs.append(x)
+            x = nn.Conv(2 * chan, (2, 2), strides=2, dtype=self.dtype,
+                        name=f"down_{i}")(x)
+            chan *= 2
+
+        for j in range(self.middle_blk_num):
+            x = NAFBlock(chan, w * 4, dtype=self.dtype,
+                         name=f"middle_{j}")(x, t,
+                                             deterministic=deterministic)
+
+        for i, num in enumerate(self.dec_blk_nums):
+            x = nn.Conv(chan * 2, (1, 1), use_bias=False, dtype=self.dtype,
+                        name=f"up_{i}")(x)
+            x = pixel_shuffle(x, 2)
+            chan //= 2
+            x = x + encs[::-1][i]
+            for j in range(num):
+                x = NAFBlock(chan, w * 4, dtype=self.dtype,
+                             name=f"dec_{i}_{j}")(
+                                 x, t, deterministic=deterministic)
+
+        x = nn.Conv(self.img_channel, (3, 3), padding=1, dtype=self.dtype,
+                    name="ending")(x)
+        return x[:, :H, :W, :].astype(jnp.float32)
+
+
+def nafnet_from_config(setting: dict, dtype=jnp.float32) -> ConditionalNAFNet:
+    """Build from EDiffSR YAML network settings
+    (options/*/setting_mfe_*.yml: width 64, enc [14,1,1,1], dec [1,1,1,1])."""
+    return ConditionalNAFNet(
+        img_channel=setting.get("img_channel", 3),
+        width=setting.get("width", 64),
+        middle_blk_num=setting.get("middle_blk_num", 1),
+        enc_blk_nums=tuple(setting.get("enc_blk_nums", (14, 1, 1, 1))),
+        dec_blk_nums=tuple(setting.get("dec_blk_nums", (1, 1, 1, 1))),
+        upscale=setting.get("upscale", 1),
+        dtype=dtype,
+    )

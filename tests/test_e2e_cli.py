@@ -1,0 +1,106 @@
+"""End-to-end smoke test: prepare tiny data -> train a few steps via the
+sr_mfe CLI (tiny UNet, T=10) -> checkpoint written -> val phase runs and
+reports metrics. This is the rebuild of the reference's `-debug` smoke mode
+(core/logger.py:62-70)."""
+
+import json
+import logging
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_run_env(tmp_path_factory):
+    from PIL import Image
+
+    from fastdiffsr_tpu.data.prepare import prepare
+
+    root = tmp_path_factory.mktemp("e2e")
+    src = root / "src"
+    src.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                     dtype=np.uint8)).save(src / f"{i}.png")
+    data = root / "Train_8_16"
+    prepare(str(src), str(data), n_worker=1, sizes=(8, 16), verbose=False)
+
+    cfg = {
+        "name": "e2e", "phase": "train", "gpu_ids": [0],
+        "path": {"log": "logs", "tb_logger": "tb_logger",
+                 "results": "results", "checkpoint": "checkpoint",
+                 "resume_state": None},
+        "datasets": {
+            "train": {"name": "Train", "mode": "LRHR",
+                      "dataroot": str(data), "datatype": "img",
+                      "l_resolution": 8, "r_resolution": 16,
+                      "batch_size": 2, "num_workers": 0,
+                      "use_shuffle": True, "data_len": -1,
+                      "img_mask": "no"},
+            "val": {"name": "Val", "mode": "LRHR", "dataroot": str(data),
+                    "datatype": "img", "l_resolution": 8,
+                    "r_resolution": 16, "data_len": 2, "img_mask": "no"},
+        },
+        "model": {
+            "which_model_G": "fastdiffsr", "finetune_norm": False,
+            "unet": {"in_channel": 6, "out_channel": 3, "inner_channel": 8,
+                     "norm_groups": 4, "channel_multiplier": [1, 2],
+                     "attn_res": [8], "res_blocks": 1, "dropout": 0.0},
+            "beta_schedule": {
+                "train": {"schedule": "linear_cosine", "n_timestep": 10,
+                          "linear_start": 1e-6, "linear_end": 1e-2},
+                "val": {"schedule": "linear_cosine", "n_timestep": 10,
+                        "linear_start": 1e-6, "linear_end": 1e-2}},
+            "diffusion": {"image_size": 16, "channels": 3,
+                          "conditional": True},
+        },
+        "train": {"n_iter": 6, "val_freq": 1000, "print_freq": 2,
+                  "save_checkpoint_freq": 6,
+                  "optimizer": {"type": "adam", "lr": 1e-3},
+                  "ema_scheduler": {"step_start_ema": 2,
+                                    "update_ema_every": 1,
+                                    "ema_decay": 0.99}},
+    }
+    cfg_path = root / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return root, cfg_path
+
+
+def _clear_loggers():
+    for name in ("base", "val"):
+        lg = logging.getLogger(name)
+        for h in list(lg.handlers):
+            lg.removeHandler(h)
+
+
+def test_train_then_val(tiny_run_env, monkeypatch):
+    root, cfg_path = tiny_run_env
+    monkeypatch.chdir(root)
+
+    from fastdiffsr_tpu.cli.sr_mfe import main
+
+    _clear_loggers()
+    main(["-p", "train", "-c", str(cfg_path)])
+
+    exps = sorted((root / "experiments").iterdir())
+    assert exps, "experiment dir missing"
+    ckpts = list((exps[-1] / "checkpoint").iterdir())
+    assert any(p.name.startswith("I6_E") for p in ckpts), ckpts
+    log = (exps[-1] / "logs" / "train.log").read_text()
+    assert "l_pix" in log
+
+    # val phase with the trained checkpoint
+    cfg = json.loads(cfg_path.read_text())
+    cfg["phase"] = "val"
+    ck = [p for p in ckpts if p.name.startswith("I6_E")][0]
+    cfg["path"]["resume_state"] = str(ck)
+    val_cfg = root / "cfg_val.json"
+    val_cfg.write_text(json.dumps(cfg))
+
+    _clear_loggers()
+    main(["-p", "val", "-c", str(val_cfg)])
+    val_log = (exps[-1] / "logs" / "val.log").read_text()
+    assert "Validation" in val_log
+    assert "psnr" in val_log

@@ -96,12 +96,15 @@ def test_dp_sharded_matches_single_device():
     batch = _batch(b=8)
     rng = jax.random.PRNGKey(7)
 
-    state_a = create_train_state(params, tx)
+    # deep-copy: train_step donates its state, so each state needs its own
+    # buffers
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+    state_a = create_train_state(copy(params), tx)
     step_a = make_train_step(engine, apply_fn, tx, ema_start=10_000)
     state_a, m_a = step_a(state_a, batch, rng)
 
     mesh = make_mesh(8)
-    state_b = create_train_state(params, tx)
+    state_b = create_train_state(copy(params), tx)
     step_b = make_train_step(engine, apply_fn, tx, ema_start=10_000,
                              mesh=mesh)
     state_b, m_b = step_b(state_b, shard_batch(batch, mesh), rng)
