@@ -1,0 +1,53 @@
+"""YAML options for the EDiffSR subsystem (reference
+EDiffSR/codes/config/sisr/options.py:19-145): scale injection into the
+network setting, experiments/results dir layout, NoneDict wrapping."""
+
+from __future__ import annotations
+
+import os
+
+from ..config import NoneDict, dict_to_nonedict
+
+
+def parse_options(path: str, is_train: bool = True,
+                  root: str = ".") -> NoneDict:
+    import yaml
+
+    with open(path, "r") as f:
+        opt = yaml.safe_load(f)
+
+    opt["is_train"] = is_train
+    scale = (opt.get("degradation") or {}).get("scale", 4)
+
+    for phase, dataset in (opt.get("datasets") or {}).items():
+        phase = phase.split("_")[0]
+        dataset["phase"] = phase
+        dataset["scale"] = scale
+        dataset["data_type"] = "img"
+
+    if opt.get("network_G") is not None:
+        opt["network_G"].setdefault("setting", {})
+        opt["network_G"]["setting"]["upscale"] = scale
+
+    name = opt.get("name", "ediffsr")
+    if is_train:
+        experiments_root = os.path.join(root, "experiments", name)
+        opt.setdefault("path", {})
+        opt["path"]["experiments_root"] = experiments_root
+        opt["path"]["models"] = os.path.join(experiments_root, "models")
+        opt["path"]["training_state"] = os.path.join(experiments_root,
+                                                     "training_state")
+        opt["path"]["log"] = experiments_root
+        opt["path"]["val_images"] = os.path.join(experiments_root,
+                                                 "val_images")
+        for k in ("experiments_root", "models", "training_state", "log",
+                  "val_images"):
+            os.makedirs(opt["path"][k], exist_ok=True)
+    else:
+        results_root = os.path.join(root, "results", name)
+        opt.setdefault("path", {})
+        opt["path"]["results_root"] = results_root
+        opt["path"]["log"] = results_root
+        os.makedirs(results_root, exist_ok=True)
+
+    return dict_to_nonedict(opt)

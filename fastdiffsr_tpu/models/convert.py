@@ -280,6 +280,94 @@ def torch_guided_unet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
     return params
 
 
+def torch_nafnet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Convert an EDiffSR ConditionalNAFNet state_dict
+    (DenoisingNAFNet_arch.py:165-264) to Flax params.
+
+    Per-NAFBlock leaves: mlp.1->time_dense, conv1..5->conv1..5 (conv2 is
+    depthwise: same HWIO transpose), sca.1->sca_conv, norm{1,2}.g (1,C,1,1)
+    -> norm{1,2}_g (C,), beta/gamma (1,C,1,1) -> (C,).
+    """
+    params: dict = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _conv_w(val) if key == "weight" else
+             np.asarray(val, np.float32))
+
+    def dense(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _dense_w(val) if key == "weight" else
+             np.asarray(val, np.float32))
+
+    def naf_leaf(base, rest, key, val):
+        if rest == "mlp.1":
+            dense(base + ("time_dense",), key, val)
+        elif rest in ("conv1", "conv2", "conv3", "conv4", "conv5"):
+            conv(base + (rest,), key, val)
+        elif rest == "sca.1":
+            conv(base + ("sca_conv",), key, val)
+        elif rest in ("norm1", "norm2"):  # key == 'g'
+            _set(params, base + (f"{rest}_g",),
+                 np.asarray(val, np.float32).reshape(-1))
+
+    block_lists = {"encoders": "enc", "decoders": "dec"}
+
+    for key, val in sd.items():
+        m = re.match(r"time_mlp\.(1|3)\.(weight|bias)", key)
+        if m:
+            dense(("time_dense1" if m.group(1) == "1" else "time_dense2",),
+                  m.group(2), val)
+            continue
+        m = re.match(r"(intro|ending)\.(weight|bias)", key)
+        if m:
+            conv((m.group(1),), m.group(2), val)
+            continue
+        m = re.match(r"enhance\.rcab\.(0|2)\.(weight|bias)", key)
+        if m:
+            conv(("enhance", "conv1" if m.group(1) == "0" else "conv2"),
+                 m.group(2), val)
+            continue
+        m = re.match(r"enhance\.rcab\.3\.attention\.(1|3)\.(weight|bias)",
+                     key)
+        if m:
+            conv(("enhance", "ca_fc1" if m.group(1) == "1" else "ca_fc2"),
+                 m.group(2), val)
+            continue
+        m = re.match(r"downs\.(\d+)\.(weight|bias)", key)
+        if m:
+            conv((f"down_{m.group(1)}",), m.group(2), val)
+            continue
+        m = re.match(r"ups\.(\d+)\.0\.(weight|bias)", key)
+        if m:
+            conv((f"up_{m.group(1)}",), m.group(2), val)
+            continue
+        m = re.match(r"middle_blks\.(\d+)\.(.+?)\.(weight|bias|g)$", key)
+        if m:
+            naf_leaf((f"middle_{m.group(1)}",), m.group(2), m.group(3), val)
+            continue
+        m = re.match(r"middle_blks\.(\d+)\.(beta|gamma)$", key)
+        if m:
+            _set(params, (f"middle_{m.group(1)}", m.group(2)),
+                 np.asarray(val, np.float32).reshape(-1))
+            continue
+        m = re.match(r"(encoders|decoders)\.(\d+)\.(\d+)\.(.+?)"
+                     r"\.(weight|bias|g)$", key)
+        if m:
+            lst, i, j, rest, kind = m.groups()
+            naf_leaf((f"{block_lists[lst]}_{i}_{j}",), rest, kind, val)
+            continue
+        m = re.match(r"(encoders|decoders)\.(\d+)\.(\d+)\.(beta|gamma)$",
+                     key)
+        if m:
+            lst, i, j, which = m.groups()
+            _set(params, (f"{block_lists[lst]}_{i}_{j}", which),
+                 np.asarray(val, np.float32).reshape(-1))
+            continue
+    return params
+
+
 def strip_diffusion_prefix(state_dict: Dict[str, "np.ndarray"],
                            prefix: str = "denoise_fn.") -> dict:
     """Extract the UNet sub-dict from a full GaussianDiffusion state_dict

@@ -1,0 +1,180 @@
+"""EDiffSR subsystem: IRSDE buffer/step math vs the torch reference, and
+ConditionalNAFNet golden parity with converted weights."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from fastdiffsr_tpu.diffusion.sde import IRSDE, IRSDEBuffers
+from tests.conftest import requires_reference, REFERENCE_ROOT
+
+EDIFF = REFERENCE_ROOT / "EDiffSR" / "codes" / "config" / "sisr"
+
+
+def _load_ref_sde():
+    import torch  # noqa: F401
+    path = REFERENCE_ROOT / "EDiffSR" / "codes" / "utils" / "sde_utils.py"
+    src = path.read_text()
+    src = src.replace("import torchvision.utils as tvutils", "tvutils = None")
+    ns = {}
+    exec(compile(src, str(path), "exec"), ns)
+    return ns["IRSDE"]
+
+
+@requires_reference
+@pytest.mark.parametrize("schedule", ["cosine", "linear", "constant"])
+def test_irsde_buffers_match_reference(schedule):
+    import torch
+
+    RefIRSDE = _load_ref_sde()
+    ref = RefIRSDE(max_sigma=50, T=20, schedule=schedule, eps=0.005,
+                   device="cpu")
+    ours = IRSDEBuffers.create(max_sigma=50, T=20, schedule=schedule,
+                               eps=0.005)
+    np.testing.assert_allclose(np.asarray(ours.thetas),
+                               ref.thetas.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.sigmas),
+                               ref.sigmas.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours.thetas_cumsum),
+                               ref.thetas_cumsum.numpy(), rtol=1e-5)
+    np.testing.assert_allclose(ours.dt, float(ref.dt), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ours.sigma_bars),
+                               ref.sigma_bars.numpy(), rtol=1e-5, atol=1e-8)
+
+
+@requires_reference
+def test_irsde_steps_match_reference():
+    import torch
+
+    RefIRSDE = _load_ref_sde()
+    ref = RefIRSDE(max_sigma=50, T=10, schedule="cosine", eps=0.005,
+                   device="cpu")
+    sde = IRSDE(IRSDEBuffers.create(max_sigma=50, T=10, schedule="cosine",
+                                    eps=0.005))
+
+    rng = np.random.default_rng(0)
+    x0 = rng.uniform(-1, 1, (2, 1, 8, 8)).astype(np.float32)
+    mu = rng.uniform(-1, 1, (2, 1, 8, 8)).astype(np.float32)
+    xt = rng.uniform(-1, 1, (2, 1, 8, 8)).astype(np.float32)
+    t = 5
+
+    ref.set_mu(torch.from_numpy(mu))
+    # mu_bar / sigma_bar
+    got = sde.mu_bar(jnp.asarray(x0), jnp.asarray(mu), t)
+    want = ref.mu_bar(torch.from_numpy(x0), t).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5)
+
+    # optimal reverse step
+    got = sde.reverse_optimum_step(jnp.asarray(xt), jnp.asarray(x0),
+                                   jnp.asarray(mu), t)
+    want = ref.reverse_optimum_step(torch.from_numpy(xt),
+                                    torch.from_numpy(x0), t).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-6)
+
+    # reverse sde mean step, score from noise
+    noise = rng.standard_normal((2, 1, 8, 8)).astype(np.float32)
+    score_ours = sde.get_score_from_noise(jnp.asarray(noise), t)
+    score_ref = ref.get_score_from_noise(torch.from_numpy(noise), t).numpy()
+    np.testing.assert_allclose(np.asarray(score_ours), score_ref, rtol=1e-5)
+    got = sde.reverse_sde_step_mean(jnp.asarray(xt), jnp.asarray(mu),
+                                    score_ours, t)
+    want = ref.reverse_sde_step_mean(torch.from_numpy(xt),
+                                     torch.from_numpy(score_ref),
+                                     t).numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-6)
+
+
+def test_irsde_matching_loss_zero_for_perfect_model():
+    """With the true noise as prediction, expected reverse step equals ...
+    not exactly the optimal step, but the loss must be small and finite;
+    with garbage predictions it must be larger."""
+    sde = IRSDE(IRSDEBuffers.create(max_sigma=50, T=10, schedule="cosine",
+                                    eps=0.005))
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.uniform(rng, (2, 8, 8, 3), jnp.float32, -1, 1)
+    mu = jax.random.uniform(jax.random.fold_in(rng, 1), (2, 8, 8, 3),
+                            jnp.float32, -1, 1)
+
+    t_seen = {}
+
+    def perfect_noise_fn(state, mu_, t):
+        # invert: state = mu_bar + sigma_bar * eps
+        tt = t.astype(jnp.int32)[:, None, None, None]
+        return (state - sde.mu_bar(x0, mu_, tt)) / sde.sigma_bar(tt)
+
+    def zero_noise_fn(state, mu_, t):
+        return jnp.zeros_like(state)
+
+    l_perfect = float(sde.matching_loss(perfect_noise_fn, x0, mu, rng))
+    l_zero = float(sde.matching_loss(zero_noise_fn, x0, mu, rng))
+    assert np.isfinite(l_perfect) and np.isfinite(l_zero)
+    assert l_perfect < l_zero
+
+
+def test_irsde_reverse_sde_runs():
+    sde = IRSDE(IRSDEBuffers.create(max_sigma=50, T=10, schedule="cosine",
+                                    eps=0.005))
+    rng = jax.random.PRNGKey(0)
+    mu = jax.random.uniform(rng, (1, 8, 8, 3), jnp.float32, -1, 1)
+    xt = sde.noise_state(mu, jax.random.fold_in(rng, 1))
+
+    def noise_fn(x, mu_, t):
+        return (x - mu_) * 0.1
+
+    out = jax.jit(lambda: sde.reverse_sde(noise_fn, xt, mu, rng))()
+    assert out.shape == mu.shape
+    assert np.all(np.isfinite(np.asarray(out)))
+
+    out_ode = jax.jit(lambda: sde.reverse_sde(noise_fn, xt, mu, rng,
+                                              ode=True))()
+    assert np.all(np.isfinite(np.asarray(out_ode)))
+
+
+def _load_ref_nafnet():
+    import torch  # noqa: F401
+    mu_path = EDIFF / "models" / "modules" / "module_util.py"
+    arch_path = EDIFF / "models" / "modules" / "DenoisingNAFNet_arch.py"
+    ns = {}
+    exec(compile(mu_path.read_text(), str(mu_path), "exec"), ns)
+    src = arch_path.read_text().replace(
+        "from .module_util import SinusoidalPosEmb, LayerNorm, exists", "")
+    exec(compile(src, str(arch_path), "exec"), ns)
+    return ns["ConditionalNAFNet"]
+
+
+@requires_reference
+def test_nafnet_matches_torch():
+    import torch
+
+    from fastdiffsr_tpu.models.nafnet import ConditionalNAFNet
+    from fastdiffsr_tpu.models.convert import torch_nafnet_to_flax
+
+    torch.manual_seed(0)
+    RefNet = _load_ref_nafnet()
+    tnet = RefNet(img_channel=3, width=16, middle_blk_num=1,
+                  enc_blk_nums=[2, 1], dec_blk_nums=[1, 1]).eval()
+    fnet = ConditionalNAFNet(img_channel=3, width=16, middle_blk_num=1,
+                             enc_blk_nums=(2, 1), dec_blk_nums=(1, 1))
+
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = torch_nafnet_to_flax(sd)
+
+    rng = np.random.default_rng(1)
+    B, H, W = 2, 12, 12  # non-multiple of 4 exercises the padder
+    inp = rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)
+    cond = rng.uniform(-1, 1, (B, H, W, 3)).astype(np.float32)
+    t = np.array([3.0, 77.0], dtype=np.float32)
+
+    with torch.no_grad():
+        out_t = tnet(torch.from_numpy(inp.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(cond.transpose(0, 3, 1, 2)),
+                     torch.from_numpy(t))
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+
+    out_f = np.asarray(fnet.apply({"params": params}, jnp.asarray(inp),
+                                  jnp.asarray(cond), jnp.asarray(t),
+                                  deterministic=True))
+    assert out_f.shape == out_t.shape
+    np.testing.assert_allclose(out_f, out_t, atol=2e-4, rtol=1e-3)
