@@ -368,6 +368,82 @@ def torch_nafnet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
     return params
 
 
+def torch_swinir_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Convert the reference SwinIR GeneratorResNet state_dict
+    (MSI_SR_model/model/swinir.py:548-753) to Flax SwinIR params.
+
+    Buffers (mean, relative_position_index, attn_mask) are dropped; LN
+    weight->scale; Linear (O,I)->(I,O); Conv (O,I,kh,kw)->(kh,kw,I,O).
+    """
+    params: dict = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _conv_w(val) if key == "weight" else np.asarray(val, np.float32))
+
+    def dense(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _dense_w(val) if key == "weight" else np.asarray(val, np.float32))
+
+    def ln(path, key, val):
+        _set(params, path + ("scale" if key == "weight" else "bias",),
+             np.asarray(val, np.float32))
+
+    for key, val in sd.items():
+        if key.endswith(("relative_position_index", "attn_mask")) or \
+                key == "mean":
+            continue
+        m = re.match(r"(conv_first|conv_after_body|conv_last)"
+                     r"\.(weight|bias)$", key)
+        if m:
+            conv((m.group(1),), m.group(2), val)
+            continue
+        m = re.match(r"conv_before_upsample\.0\.(weight|bias)$", key)
+        if m:
+            conv(("conv_before_upsample",), m.group(1), val)
+            continue
+        m = re.match(r"upsample\.(\d+)\.(weight|bias)$", key)
+        if m:  # Sequential indices 0,2,... -> chain index 0,1,...
+            conv((f"upsample_conv_{int(m.group(1)) // 2}",), m.group(2), val)
+            continue
+        m = re.match(r"patch_embed\.norm\.(weight|bias)$", key)
+        if m:
+            ln(("patch_norm",), m.group(1), val)
+            continue
+        m = re.match(r"norm\.(weight|bias)$", key)
+        if m:
+            ln(("norm",), m.group(1), val)
+            continue
+        m = re.match(r"layers\.(\d+)\.conv\.(weight|bias)$", key)
+        if m:
+            conv((f"layer_{m.group(1)}", "conv"), m.group(2), val)
+            continue
+        m = re.match(r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\.(.+)$",
+                     key)
+        if m:
+            i, j, rest = m.groups()
+            base = (f"layer_{i}", f"block_{j}")
+            mm = re.match(r"(norm1|norm2)\.(weight|bias)$", rest)
+            if mm:
+                ln(base + (mm.group(1),), mm.group(2), val)
+                continue
+            if rest == "attn.relative_position_bias_table":
+                _set(params, base + ("attn",
+                                     "relative_position_bias_table"),
+                     np.asarray(val, np.float32))
+                continue
+            mm = re.match(r"attn\.(qkv|proj)\.(weight|bias)$", rest)
+            if mm:
+                dense(base + ("attn", mm.group(1)), mm.group(2), val)
+                continue
+            mm = re.match(r"mlp\.fc(1|2)\.(weight|bias)$", rest)
+            if mm:
+                dense(base + (f"mlp_fc{mm.group(1)}",), mm.group(2), val)
+                continue
+    return params
+
+
 def strip_diffusion_prefix(state_dict: Dict[str, "np.ndarray"],
                            prefix: str = "denoise_fn.") -> dict:
     """Extract the UNet sub-dict from a full GaussianDiffusion state_dict
