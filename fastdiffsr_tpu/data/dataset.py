@@ -52,7 +52,19 @@ def get_paths_from_images(path: str) -> list:
 
 
 def _load_image(path: str) -> np.ndarray:
-    """uint8 HWC RGB."""
+    """uint8 HWC RGB. Uses the native C++ decoder (fastdiffsr_tpu.native,
+    libpng/libjpeg — bit-identical to PIL for PNG) when available; PIL
+    otherwise, and always for formats the native path doesn't cover
+    (e.g. TIFF tiles from the reference prep tool)."""
+    if os.environ.get("FASTDIFFSR_TPU_NO_NATIVE") != "1" and \
+            path.lower().endswith((".png", ".jpg", ".jpeg")):
+        try:
+            from ..native import decode_rgb
+            arr = decode_rgb(path)
+            if arr is not None:
+                return arr
+        except Exception:
+            pass
     from PIL import Image
     with Image.open(path) as im:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
