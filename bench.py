@@ -56,15 +56,15 @@ def main():
 
     cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32, -1.0, 1.0)
 
-    # warmup / compile
-    out = sample_fn(params, cond, rng)
-    jax.block_until_ready(out)
+    # warmup / compile (np.asarray = hard host sync; on the axon tunnel
+    # block_until_ready alone has proven unreliable for timing)
+    out = np.asarray(sample_fn(params, cond, rng))
 
     n_rep = 5
     t0 = time.time()
     for i in range(n_rep):
         out = sample_fn(params, cond, jax.random.fold_in(rng, i))
-    jax.block_until_ready(out)
+    out = np.asarray(out)
     dt = time.time() - t0
 
     imgs_per_sec = n_rep * B / dt

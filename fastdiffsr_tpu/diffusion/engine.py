@@ -278,3 +278,44 @@ class DiffusionEngine:
         if return_trajectory:
             return to_img(img), jax.vmap(to_img)(traj)
         return to_img(img)
+
+    def interpolate(self, denoise_fn: DenoiseFn, x1: jax.Array,
+                    x2: jax.Array, rng: jax.Array,
+                    t: Optional[int] = None, lam: float = 0.5) -> jax.Array:
+        """Diffuse two images to step t, mix, and denoise back
+        (reference ddpm_modules/diffusion.py:242-258). Unconditional."""
+        b = self.buffers
+        T = b.num_timesteps
+        t = T - 1 if t is None else t
+        rng1, rng2, rng_steps = jax.random.split(rng, 3)
+        noise1 = jax.random.normal(rng1, x1.shape, jnp.float32)
+        noise2 = jax.random.normal(rng2, x2.shape, jnp.float32)
+        xt1 = (b.sqrt_alphas_cumprod[t] * x1
+               + b.sqrt_one_minus_alphas_cumprod[t] * noise1)
+        xt2 = (b.sqrt_alphas_cumprod[t] * x2
+               + b.sqrt_one_minus_alphas_cumprod[t] * noise2)
+        img = (1 - lam) * xt1 + lam * xt2
+
+        bsz = x1.shape[0]
+        ts = jnp.arange(t - 1, -1, -1)
+
+        def step(x, t_idx):
+            if self.spec.conditioning == "discrete_t":
+                level = jnp.full((bsz,), t_idx, jnp.float32)
+            else:
+                level = jnp.full((bsz,),
+                                 b.sqrt_alphas_cumprod_prev[t_idx + 1])
+            model_out = denoise_fn(x, level).astype(jnp.float32)
+            if self.spec.prediction == "x0":
+                x_recon = model_out
+            else:
+                x_recon = self.predict_start_from_noise(x, t_idx, model_out)
+            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+            mean, log_var = self.q_posterior(x_recon, x, t_idx)
+            noise = jax.random.normal(jax.random.fold_in(rng_steps, t_idx),
+                                      x.shape, jnp.float32)
+            nonzero = (t_idx > 0).astype(jnp.float32)
+            return mean + nonzero * noise * jnp.exp(0.5 * log_var), None
+
+        img, _ = jax.lax.scan(step, img, ts)
+        return img

@@ -450,3 +450,61 @@ def strip_diffusion_prefix(state_dict: Dict[str, "np.ndarray"],
     (drops schedule buffers like betas/alphas_cumprod)."""
     return {k[len(prefix):]: v for k, v in state_dict.items()
             if k.startswith(prefix)}
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    """Convert a reference checkpoint to a Flax params pickle.
+
+    Usage:
+      python -m fastdiffsr_tpu.models.convert --arch fastdiffsr \
+          I896896_E196_gen.pth out_dir
+    """
+    import argparse
+    import os
+    import pickle
+
+    import torch
+
+    p = argparse.ArgumentParser()
+    p.add_argument("ckpt", help="reference .pth checkpoint")
+    p.add_argument("out", help="output checkpoint dir")
+    p.add_argument("--arch", default="fastdiffsr",
+                   choices=["fastdiffsr", "ddpm", "tesr", "gdp", "swinir",
+                            "nafnet"])
+    args = p.parse_args(argv)
+
+    sd = torch.load(args.ckpt, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+    if any(k.startswith("denoise_fn.") for k in sd):
+        sd = strip_diffusion_prefix(sd)
+
+    if args.arch in ("fastdiffsr", "ddpm", "tesr"):
+        params = torch_unet_to_flax(sd)
+    elif args.arch == "gdp":
+        params = torch_guided_unet_to_flax(sd)
+    elif args.arch == "swinir":
+        params = torch_swinir_to_flax(sd)
+    else:
+        params = torch_nafnet_to_flax(sd)
+
+    os.makedirs(args.out, exist_ok=True)
+    payload = {"step": 0, "epoch": 0, "params": params,
+               "ema_params": params, "opt_state": None}
+    with open(os.path.join(args.out, "state.pkl"), "wb") as f:
+        pickle.dump(payload, f, protocol=4)
+    n = len([1 for _ in _iter_leaves(params)])
+    print(f"wrote {args.out}/state.pkl ({n} tensors)")
+
+
+def _iter_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _iter_leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
