@@ -159,6 +159,14 @@ class Downsample(nn.Module):
                        dtype=self.dtype, name="conv")(x)
 
 
+def nearest_up2(x: jax.Array) -> jax.Array:
+    """Exact 2x nearest upsample as broadcast+reshape (no gather ops —
+    cheaper for XLA than jax.image.resize on TPU)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, h * 2, w * 2, c)
+
+
 class Upsample(nn.Module):
     """Nearest x2 then 3x3 conv (reference unet.py:66-74)."""
 
@@ -167,10 +175,8 @@ class Upsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
         return nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv")(x)
+                       name="conv")(nearest_up2(x))
 
 
 class FastDiffSRUNet(nn.Module):
