@@ -26,6 +26,57 @@ import numpy as np
 REF_IMAGES_PER_SEC_EST = 2.0
 
 
+def bench_full():
+    """Speedup-vs-quality table: FastDiffSR T=20 vs the DDPM baseline's
+    T=1000 ancestral sampling (the reference's headline comparison,
+    BASELINE.md: 50-100x fewer UNet evals)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
+                                          ScheduleBuffers)
+    from fastdiffsr_tpu.models import FastDiffSRUNet
+    from fastdiffsr_tpu.models.unet_sr3 import SR3UNet
+    from fastdiffsr_tpu.train import make_sample_fn
+
+    rng = jax.random.PRNGKey(0)
+    B, H, W = 8, 256, 256
+    rows = []
+    for name, variant, T, net in [
+        ("fastdiffsr", "fastdiffsr", 20, FastDiffSRUNet(dtype=jnp.bfloat16)),
+        ("ddpm", "ddpm", 1000,
+         SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
+                 attn_res=(16,), res_blocks=2, image_size=256,
+                 dtype=jnp.bfloat16)),
+    ]:
+        sched = ("linear_cosine" if variant == "fastdiffsr" else "linear")
+        engine = DiffusionEngine(
+            DiffusionSpec.for_variant(variant),
+            ScheduleBuffers.create({"schedule": sched, "n_timestep": T,
+                                    "linear_start": 1e-6,
+                                    "linear_end": 1e-2}))
+        params = net.init(rng, jnp.zeros((1, H, W, 6)),
+                          jnp.ones((1,)))["params"]
+
+        def apply_fn(p, x_in, level, _r, _net=net):
+            return _net.apply({"params": p}, x_in, level,
+                              deterministic=True)
+
+        fn = make_sample_fn(engine, apply_fn)
+        cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32, -1, 1)
+        out = np.asarray(fn(params, cond, rng))  # compile+sync
+        t0 = time.time()
+        out = np.asarray(fn(params, cond, jax.random.fold_in(rng, 1)))
+        dt = time.time() - t0
+        rows.append((name, T, B / dt, dt / B))
+        print(f"{name:>10} T={T:5d}: {B / dt:8.3f} img/s "
+              f"({dt / B * 1000:.0f} ms/img)")
+    if len(rows) == 2:
+        print(f"speedup fastdiffsr vs ddpm: {rows[0][2] / rows[1][2]:.1f}x")
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -77,4 +128,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--full" in sys.argv:
+        bench_full()
+    else:
+        main()

@@ -33,7 +33,16 @@ def build(opt):
         max_sigma=float(sde_cfg["max_sigma"]), T=int(sde_cfg["T"]),
         schedule=sde_cfg["schedule"], eps=float(sde_cfg["eps"])))
 
-    net = nafnet_from_config(opt["network_G"]["setting"] or {})
+    which = (opt["network_G"] or {}).get("which_model_G",
+                                         "ConditionalNAFNet")
+    setting = opt["network_G"]["setting"] or {}
+    if which == "ConditionalUNet":
+        from ..models.cond_unet import ConditionalUNet
+        net = ConditionalUNet(
+            in_nc=setting.get("in_nc", 3), out_nc=setting.get("out_nc", 3),
+            nf=setting.get("nf", 64), depth=setting.get("depth", 4))
+    else:
+        net = nafnet_from_config(setting)
 
     def apply_fn(params, x, mu, t):
         return net.apply({"params": params}, x, mu, t, deterministic=True)
