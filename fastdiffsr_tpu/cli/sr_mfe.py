@@ -63,7 +63,8 @@ def build_all(opt, phase: str, mesh=None):
 
 
 def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
-                   mesh=None, scale=4, max_images=None, save_images=True):
+                   mesh=None, scale=4, max_images=None, save_images=True,
+                   wandb_logger=None, save_plots=False):
     import jax
 
     from ..data import create_dataset, create_dataloader
@@ -114,6 +115,17 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
                                             f"{idx}_hr.png"))
             M.save_img(bic_img, os.path.join(result_path,
                                              f"{idx}_inf.png"))
+        if save_plots:
+            # reference-style annotated comparison panel
+            # (core/metrics.py:51-88)
+            psnr_b = M.calculate_psnr(bic_img, hr_img)
+            ssim_b = M.calculate_ssim(bic_img, hr_img)
+            ergas_b = M.calculate_ergas(bic_img, hr_img, scale=scale)
+            M.plot_img(os.path.join(result_path, f"{idx}_panel.png"),
+                       bic_img, sr_img, hr_img, psnr, ssim, ergas, lp,
+                       psnr_b, ssim_b, ergas_b, None)
+        if wandb_logger is not None and wandb_logger.enabled:
+            wandb_logger.log_eval_data(sr_img, psnr, ssim, hr_img)
         logger.info(
             f"img {idx}: psnr {psnr:.4f} ssim {ssim:.4f} mse {mse:.1f} "
             f"ergas {ergas:.4f} lpips {lp if lp is not None else 'n/a'} "
@@ -153,6 +165,10 @@ def main(argv=None):
     val_logger = setup_logger("val", opt["path"]["log"], "val")
     logger.info(dict2str(opt))
     tb = make_tb_writer(opt["path"]["tb_logger"])
+    wandb_logger = None
+    if opt.get("enable_wandb"):
+        from ..utils.wandb_logger import WandbLogger
+        wandb_logger = WandbLogger(opt)
 
     import jax
     import jax.numpy as jnp
@@ -225,10 +241,14 @@ def main(argv=None):
                     os.makedirs(result_path, exist_ok=True)
                     res = run_validation(
                         opt, eng_val, apply_fn, state.params, result_path,
-                        val_logger, mesh=None, scale=scale)
+                        val_logger, mesh=None, scale=scale,
+                        wandb_logger=wandb_logger)
                     if tb and res:
                         for k, v in res.items():
                             tb.add_scalar(f"val/{k}", v, current_step)
+                    if wandb_logger is not None and res:
+                        wandb_logger.log_metrics(
+                            {f"val/{k}": v for k, v in res.items()})
 
                 if current_step % int(
                         train_opt["save_checkpoint_freq"]) == 0:
@@ -250,7 +270,10 @@ def main(argv=None):
         os.makedirs(result_path, exist_ok=True)
         # val loader is batch=1 (reference semantics) — no DP mesh
         run_validation(opt, eng_val, apply_fn, params, result_path,
-                       val_logger, mesh=None, scale=scale)
+                       val_logger, mesh=None, scale=scale,
+                       wandb_logger=wandb_logger, save_plots=True)
+        if wandb_logger is not None:
+            wandb_logger.log_eval_table(commit=True)
 
 
 if __name__ == "__main__":

@@ -34,39 +34,100 @@ def _gn_swish_reference(x, scale, bias, groups: int, eps: float):
     return y.astype(x.dtype)
 
 
+def _pick_tile(hw: int, c: int, budget_bytes: int = 2 << 20) -> int:
+    """Largest 8-aligned HW tile whose f32 block fits the VMEM budget."""
+    tile = max(8, min(hw, budget_bytes // (4 * c)))
+    tile -= tile % 8
+    while hw % tile:
+        tile -= 8
+    return max(tile, 8)
+
+
 def _gn_swish_pallas(x, scale, bias, groups: int, eps: float):
+    """Two-pass tiled kernel. Mosaic can't reshape across the lane
+    (channel) dim, so group statistics use matmuls against a
+    channel->group one-hot matrix (MXU, 128-lane aligned); HW is tiled so
+    blocks fit VMEM.
+
+    pass 1: per-(batch, tile) partial sums (x, x^2) projected to groups
+    pass 2: normalize + affine + swish per tile with the reduced stats
+    (the tiny cross-tile reduction runs as plain XLA between the calls).
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = x.shape
     cg = c // groups
-
     hw = h * w
+    tile = _pick_tile(hw, c)
+    n_tiles = hw // tile
 
-    def kernel(x_ref, scale_ref, bias_ref, out_ref):
-        # block is (1, H*W, C): one batch element per grid step
-        xg = x_ref[:].astype(jnp.float32).reshape(hw, groups, cg)
-        mean = jnp.mean(xg, axis=(0, 2), keepdims=True)
-        var = jnp.mean((xg - mean) ** 2, axis=(0, 2), keepdims=True)
-        xn = ((xg - mean) * jax.lax.rsqrt(var + eps)).reshape(1, hw, c)
-        y = xn * scale_ref[:].astype(jnp.float32) + \
+    xf = x.reshape(b, hw, c)
+
+    def stats_kernel(x_ref, out_ref):
+        # exact f32 VPU reductions; the tiny C->G collapse happens in
+        # plain XLA outside (MXU bf16 truncation costs ~0.4% otherwise)
+        xb = x_ref[0].astype(jnp.float32)                     # (tile, C)
+        s1 = jnp.sum(xb, axis=0, keepdims=True)               # (1, C)
+        s2 = jnp.sum(xb * xb, axis=0, keepdims=True)
+        out_ref[0, 0] = jnp.concatenate([s1, s2], axis=0)     # (2, C)
+
+    partial = pl.pallas_call(
+        stats_kernel,
+        grid=(b, n_tiles),
+        in_specs=[
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 2, c),
+                               lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, 2, c), jnp.float32),
+    )(xf)
+
+    sums_c = jnp.sum(partial, axis=1)                         # (b, 2, C)
+    sums_g = jnp.sum(sums_c.reshape(b, 2, groups, cg), axis=-1)
+    inv_count = 1.0 / float(hw * cg)
+    mean_g = sums_g[:, 0] * inv_count                         # (b, G)
+    var_g = sums_g[:, 1] * inv_count - mean_g ** 2
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)                  # (b, C)
+    inv_c = jnp.repeat(inv_g, cg, axis=-1)
+
+    # (b, 1, C) so per-batch stat blocks are (1, 1, C): Mosaic needs the
+    # last-two block dims divisible by (8, 128) OR equal to the array dims
+    mean_c = mean_c[:, None, :]
+    inv_c = inv_c[:, None, :]
+
+    def norm_kernel(x_ref, mean_ref, inv_ref, scale_ref, bias_ref,
+                    out_ref):
+        xb = x_ref[0].astype(jnp.float32)
+        y = (xb - mean_ref[0]) * inv_ref[0]
+        y = y * scale_ref[:].astype(jnp.float32) + \
             bias_ref[:].astype(jnp.float32)
         y = y * jax.nn.sigmoid(y)
-        out_ref[:] = y.astype(out_ref.dtype)
+        out_ref[0] = y.astype(out_ref.dtype)
 
-    return pl.pallas_call(
-        kernel,
-        grid=(b,),
+    out = pl.pallas_call(
+        norm_kernel,
+        grid=(b, n_tiles),
         in_specs=[
-            pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((c,), lambda i: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c,), lambda i, j: (0,),
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h * w, c), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, tile, c), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, h * w, c), x.dtype),
-    )(x.reshape(b, h * w, c), scale, bias).reshape(b, h, w, c)
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+    )(xf, mean_c, inv_c, scale, bias)
+    return out.reshape(b, h, w, c)
 
 
 def _pallas_enabled() -> bool:
