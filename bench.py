@@ -84,6 +84,7 @@ def main():
     from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
                                           ScheduleBuffers)
     from fastdiffsr_tpu.models import FastDiffSRUNet
+    from fastdiffsr_tpu.ops.groupnorm import default_fused_norm
     from fastdiffsr_tpu.train import make_sample_fn
 
     backend = jax.default_backend()
@@ -95,7 +96,7 @@ def main():
         DiffusionSpec.for_variant("fastdiffsr"),
         ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
-    net = FastDiffSRUNet(dtype=jnp.bfloat16)
+    net = FastDiffSRUNet(dtype=jnp.bfloat16, fused_norm=default_fused_norm())
 
     rng = jax.random.PRNGKey(0)
     params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]

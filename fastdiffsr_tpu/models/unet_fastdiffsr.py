@@ -29,6 +29,31 @@ def swish(x):
     return x * jax.nn.sigmoid(x)
 
 
+class FusedGNSwish(nn.Module):
+    """swish(GroupNorm(x)) as one fused op (ops/groupnorm.py).
+
+    Parameter names/shapes ('scale', 'bias' of (C,)) match nn.GroupNorm so
+    converted checkpoints load identically; instantiated under the same
+    'norm' scope. mode: 'xla' (f32 stats, output in x.dtype) or 'pallas'
+    (tiled VMEM kernel on TPU).
+    """
+
+    groups: int
+    mode: str = "xla"
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        from ..ops.groupnorm import (_gn_swish_pallas, _gn_swish_reference)
+        if self.mode == "pallas" and jax.default_backend() == "tpu":
+            return _gn_swish_pallas(x, scale, bias, self.groups, self.eps)
+        # call the impl unjitted so XLA can fuse it with neighboring convs
+        return _gn_swish_reference(x, scale, bias, self.groups, self.eps)
+
+
 def positional_encoding(noise_level: jax.Array, dim: int) -> jax.Array:
     """WaveGrad sinusoidal encoding of a continuous noise level
     (reference unet.py:22-35). noise_level: (B,) -> (B, dim)."""
@@ -45,12 +70,17 @@ class Block(nn.Module):
     groups: int = 32
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused_norm: str = ""
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
-                         name="norm")(x)
-        h = swish(h)
+        if self.fused_norm:
+            h = FusedGNSwish(self.groups, mode=self.fused_norm,
+                             name="norm")(x)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-5,
+                             name="norm")(x)
+            h = swish(h)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
         h = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
@@ -68,17 +98,19 @@ class ResnetBlock(nn.Module):
     dropout: float = 0.0
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
+    fused_norm: str = ""
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
+                  fused_norm=self.fused_norm,
                   name="block1")(x, deterministic=deterministic)
         shift = nn.Dense(self.dim_out, dtype=self.dtype,
                          name="noise_dense")(noise_emb)
         h = h + shift[:, None, None, :]
         h = Block(self.dim_out, groups=self.groups, dropout=self.dropout,
-                  dtype=self.dtype, name="block2")(
-                      h, deterministic=deterministic)
+                  dtype=self.dtype, fused_norm=self.fused_norm,
+                  name="block2")(h, deterministic=deterministic)
         if self.dim != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
                         name="res_conv")(x)
@@ -134,11 +166,13 @@ class ResnetBlockWithAttn(nn.Module):
     groups: int = 32
     with_attn: bool = False
     dtype: jnp.dtype = jnp.float32
+    fused_norm: str = ""
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
         x = ResnetBlock(self.dim, self.dim_out, dropout=self.dropout,
                         groups=self.groups, dtype=self.dtype,
+                        fused_norm=self.fused_norm,
                         name="res_block")(x, noise_emb,
                                           deterministic=deterministic)
         if self.with_attn:
@@ -197,6 +231,7 @@ class FastDiffSRUNet(nn.Module):
     dropout: float = 0.2
     with_noise_level_emb: bool = True
     dtype: jnp.dtype = jnp.float32
+    fused_norm: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array, noise_level: jax.Array, *,
@@ -235,6 +270,7 @@ class FastDiffSRUNet(nn.Module):
                 x = ResnetBlockWithAttn(
                     pre, ch, dropout=self.dropout, groups=self.norm_groups,
                     with_attn=False, dtype=self.dtype,
+                    fused_norm=self.fused_norm,
                     name=f"downs_{idx}")(x, t, deterministic=deterministic)
                 idx += 1
                 feats.append(x)
@@ -249,11 +285,11 @@ class FastDiffSRUNet(nn.Module):
         # --- mid: [attn, no-attn] (reference unet.py:274-279) ---
         x = ResnetBlockWithAttn(
             pre, pre, dropout=self.dropout, groups=self.norm_groups,
-            with_attn=True, dtype=self.dtype,
+            with_attn=True, dtype=self.dtype, fused_norm=self.fused_norm,
             name="mid_0")(x, t, deterministic=deterministic)
         x = ResnetBlockWithAttn(
             pre, pre, dropout=self.dropout, groups=self.norm_groups,
-            with_attn=False, dtype=self.dtype,
+            with_attn=False, dtype=self.dtype, fused_norm=self.fused_norm,
             name="mid_1")(x, t, deterministic=deterministic)
 
         # --- up path with skip-concat ([x, skip] channel order as torch) ---
@@ -267,7 +303,8 @@ class FastDiffSRUNet(nn.Module):
                 x = ResnetBlockWithAttn(
                     pre + skip_ch, ch, dropout=self.dropout,
                     groups=self.norm_groups, with_attn=False,
-                    dtype=self.dtype, name=f"ups_{idx}")(
+                    dtype=self.dtype, fused_norm=self.fused_norm,
+                    name=f"ups_{idx}")(
                         jnp.concatenate([x, skip], axis=-1), t,
                         deterministic=deterministic)
                 idx += 1
@@ -277,7 +314,8 @@ class FastDiffSRUNet(nn.Module):
                 idx += 1
 
         out = Block(self.out_channel, groups=self.norm_groups,
-                    dtype=self.dtype, name="final_block")(
+                    dtype=self.dtype, fused_norm=self.fused_norm,
+                    name="final_block")(
                         x, deterministic=deterministic)
         return out.astype(jnp.float32)
 
@@ -285,6 +323,7 @@ class FastDiffSRUNet(nn.Module):
 def unet_from_config(unet_opt: dict, dtype=jnp.float32) -> FastDiffSRUNet:
     """Build from a reference-schema config dict
     (model.unet block of config/sr_fastdiffsr_*.json)."""
+    from ..ops.groupnorm import default_fused_norm
     return FastDiffSRUNet(
         in_channel=unet_opt.get("in_channel", 6),
         out_channel=unet_opt.get("out_channel", 3),
@@ -294,4 +333,5 @@ def unet_from_config(unet_opt: dict, dtype=jnp.float32) -> FastDiffSRUNet:
         res_blocks=unet_opt.get("res_blocks", 2),
         dropout=unet_opt.get("dropout", 0.0),
         dtype=dtype,
+        fused_norm=default_fused_norm(),
     )

@@ -137,6 +137,20 @@ def _pallas_enabled() -> bool:
     return False
 
 
+def default_fused_norm() -> str:
+    """Model-level fused-norm mode from the environment.
+
+    FASTDIFFSR_TPU_FUSED_NORM: '' (plain nn.GroupNorm, exact parity path),
+    'xla' (f32 stats, output cast to compute dtype — one fused elementwise
+    chain instead of an f32 materialization), 'pallas' (tiled VMEM kernel).
+    """
+    mode = os.environ.get("FASTDIFFSR_TPU_FUSED_NORM", "")
+    if mode not in ("", "xla", "pallas"):
+        raise ValueError(f"FASTDIFFSR_TPU_FUSED_NORM={mode!r} "
+                         "(want '', 'xla' or 'pallas')")
+    return mode
+
+
 @functools.partial(jax.jit, static_argnames=("groups", "eps", "use_pallas"))
 def group_norm_swish(x: jax.Array, scale: jax.Array, bias: jax.Array,
                      groups: int = 32, eps: float = 1e-5,

@@ -57,3 +57,27 @@ def test_pallas_interpret_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(_gn_swish_pallas(x, scale, bias, 4, 1e-5))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fused_gn_swish_module_param_compat():
+    """FusedGNSwish must be a drop-in for nn.GroupNorm+swish: same param
+    tree (norm/scale, norm/bias) and same output in f32."""
+    import jax
+    import jax.numpy as jnp
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (2, 16, 16, 6))
+    lvl = jnp.ones((2,))
+    kw = dict(inner_channel=32, norm_groups=16, channel_mults=(1, 2),
+              res_blocks=1, dropout=0.0)
+    plain = FastDiffSRUNet(**kw)
+    fused = FastDiffSRUNet(**kw, fused_norm="xla")
+    params = plain.init(rng, x, lvl)["params"]
+    t_plain = jax.tree_util.tree_structure(params)
+    t_fused = jax.tree_util.tree_structure(
+        fused.init(rng, x, lvl)["params"])
+    assert t_plain == t_fused
+    y0 = plain.apply({"params": params}, x, lvl, deterministic=True)
+    y1 = fused.apply({"params": params}, x, lvl, deterministic=True)
+    assert jnp.max(jnp.abs(y0 - y1)) < 1e-4
