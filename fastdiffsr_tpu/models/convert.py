@@ -444,6 +444,319 @@ def torch_swinir_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
     return params
 
 
+
+
+def _ssem_map(params, base, torch_rest, key, val, conv, dense):
+    """Map one SSEM-relative torch key (MSI_SR_model/model/hsenet.py:323-364)
+    onto the Flax SSEM tree (msi/hsenet.py:100-114)."""
+    import re
+    mm = re.match(r"head\.0\.0\.(weight|bias)$", torch_rest)
+    if mm:
+        conv(base + ("head", "conv"), mm.group(1), val); return True
+    mm = re.match(r"MB\.([01])\.0\.(weight|bias)$", torch_rest)
+    if mm:
+        conv(base + (f"mb{int(mm.group(1)) + 1}", "conv"), mm.group(2), val)
+        return True
+    mm = re.match(r"AB\.0\.(g|theta|phi|W)\.(weight|bias)$", torch_rest)
+    if mm:
+        conv(base + ("ab_nl", mm.group(1)), mm.group(2), val); return True
+    mm = re.match(r"AB\.1\.(weight|bias)$", torch_rest)
+    if mm:
+        conv(base + ("ab_conv",), mm.group(1), val); return True
+    mm = re.match(r"tail\.0\.0\.(weight|bias)$", torch_rest)
+    if mm:
+        conv(base + ("tail", "conv"), mm.group(1), val); return True
+    return False
+
+
+def torch_hsenet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Convert the reference HSENET state_dict
+    (MSI_SR_model/model/hsenet.py:401-441) to Flax HSENet params
+    (msi/hsenet.py). MeanShift sub_mean/add_mean are fixed eye/mean convs
+    (hsenet.py:107-115) baked into the Flax forward — dropped here."""
+    params: dict = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _conv_w(val) if key == "weight" else np.asarray(val, np.float32))
+
+    def dense(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _dense_w(val) if key == "weight" else np.asarray(val, np.float32))
+
+    for key, val in sd.items():
+        if key.startswith(("sub_mean.", "add_mean.")):
+            continue
+        m = re.match(r"head\.0\.(weight|bias)$", key)
+        if m:
+            conv(("head",), m.group(1), val)
+            continue
+        m = re.match(r"tail\.0\.(\d+)\.(weight|bias)$", key)
+        if m:  # Upsampler convs at Sequential indices 0,2,...
+            conv((f"up_conv_{int(m.group(1)) // 2}",), m.group(2), val)
+            continue
+        m = re.match(r"tail\.1\.(weight|bias)$", key)
+        if m:
+            conv(("tail",), m.group(1), val)
+            continue
+        m = re.match(r"body_modulist\.(\d+)\.(.+)$", key)
+        if not m:
+            continue
+        i, rest = m.groups()
+        base = (f"bm_{i}",)
+        mm = re.match(r"head\.([01])\.0\.(weight|bias)$", rest)
+        if mm:
+            conv(base + (f"head{int(mm.group(1)) + 1}", "conv"),
+                 mm.group(2), val)
+            continue
+        mm = re.match(r"tail\.([01])\.0\.(weight|bias)$", rest)
+        if mm:
+            conv(base + (f"tail{int(mm.group(1)) + 1}", "conv"),
+                 mm.group(2), val)
+            continue
+        mm = re.match(r"body\.0\.(.+)$", rest)  # HSEM
+        if not mm:
+            continue
+        hrest = mm.group(1)
+        hbase = base + ("hsem",)
+        mm = re.match(r"(base_scale|down_scale)\.0\.(.+)$", hrest)
+        if mm and _ssem_map(params, hbase + (mm.group(1),), mm.group(2),
+                            key, val, conv, dense):
+            continue
+        mm = re.match(r"NonLocal_base\.(g|theta|phi|W)\.(weight|bias)$",
+                      hrest)
+        if mm:
+            conv(hbase + ("nonlocal_base", mm.group(1)), mm.group(2), val)
+            continue
+        mm = re.match(r"tail\.0\.0\.(weight|bias)$", hrest)
+        if mm:
+            conv(hbase + ("tail", "conv"), mm.group(1), val)
+            continue
+    return params
+
+
+def _vit_encoder_map(params, base, rest, conv, dense, ln):
+    """TransformerEncoder layer keys (MSI_SR_model/model/transformer.py:
+    158-173) -> Flax Encoder names (msi/transenet.py:112-129)."""
+    m = re.match(r"layers\.(\d+)\.0\.fn\.norm\.(weight|bias)$", rest)
+    if m:
+        ln(base + (f"ln_attn_{m.group(1)}",), m.group(2)); return m
+    m = re.match(r"layers\.(\d+)\.0\.fn\.fn\.to_qkv\.weight$", rest)
+    if m:
+        dense(base + (f"attn_{m.group(1)}", "to_qkv"), "weight"); return m
+    m = re.match(r"layers\.(\d+)\.0\.fn\.fn\.to_out\.0\."
+                 r"(weight|bias)$", rest)
+    if m:
+        dense(base + (f"attn_{m.group(1)}", "to_out"), m.group(2)); return m
+    m = re.match(r"layers\.(\d+)\.1\.fn\.norm\.(weight|bias)$", rest)
+    if m:
+        ln(base + (f"ln_mlp_{m.group(1)}",), m.group(2)); return m
+    m = re.match(r"layers\.(\d+)\.1\.fn\.fn\.net\.([03])\."
+                 r"(weight|bias)$", rest)
+    if m:
+        fc = "fc1" if m.group(2) == "0" else "fc2"
+        dense(base + (f"mlp_{m.group(1)}", fc), m.group(3)); return m
+    return None
+
+
+def torch_transenet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Convert the reference TransENet state_dict
+    (MSI_SR_model/model/transenet.py:288-433 + model/transformer.py)
+    to Flax TransENet params (msi/transenet.py)."""
+    params: dict = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _conv_w(val) if key == "weight" else np.asarray(val, np.float32))
+
+    def dense_v(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _dense_w(val) if key == "weight" else np.asarray(val, np.float32))
+
+    simple = {"head.0": ("head",), "tail": ("tail",),
+              "stage1_conv1x1": ("red1",), "stage2_conv1x1": ("red2",),
+              "stage3_conv1x1": ("red3",), "up_conv1x1": ("red_up",),
+              "span_conv1x1": ("span",)}
+    emb = {"patch_to_embedding_low1": ("emb1",),
+           "patch_to_embedding_low2": ("emb2",),
+           "patch_to_embedding_low3": ("emb3",),
+           "patch_to_embedding_high": ("emb_up",),
+           "embedding_to_patch": ("to_patch",)}
+    enc = {"encoder_stage1": "enc1", "encoder_stage2": "enc2",
+           "encoder_stage3": "enc3", "encoder_up": "enc_up"}
+    dec = {"decoder1": "dec1", "decoder2": "dec2", "decoder3": "dec3"}
+
+    for key, val in sd.items():
+        if key.startswith(("sub_mean.", "add_mean.")):
+            continue
+        pre, _, rest = key.partition(".")
+        pre2 = key.rsplit(".", 1)[0]
+        leaf = key.rsplit(".", 1)[1]
+        if pre2 in simple:
+            conv(simple[pre2], leaf, val)
+            continue
+        if pre2 in emb:
+            dense_v(emb[pre2], leaf, val)
+            continue
+        m = re.match(r"upsampler\.(\d+)\.(weight|bias)$", key)
+        if m:
+            conv((f"up_conv_{int(m.group(1)) // 2}",), m.group(2), val)
+            continue
+        m = re.match(r"feat_extrat_stage([123])\.body\.(\d+)\.body\."
+                     r"([02])\.(weight|bias)$", key)
+        if m:
+            s, i, ci, leaf = m.groups()
+            conv((f"stage{s}", f"rb_{i}",
+                  "conv1" if ci == "0" else "conv2"), leaf, val)
+            continue
+        if pre in enc:
+            base = (enc[pre],)
+
+            def ln(path, k, _v=val):
+                _set(params, path + ("scale" if k == "weight" else "bias",),
+                     np.asarray(_v, np.float32))
+
+            def dn(path, k, _v=val):
+                dense_v(path, k, _v)
+
+            if _vit_encoder_map(params, base, rest, conv, dn, ln):
+                continue
+        if pre in dec:
+            base = (dec[pre],)
+            mm = re.match(r"layers\.(\d+)\.(\d)\.fn\.(.+)$", rest)
+            if not mm:
+                continue
+            i, slot, drest = mm.groups()
+            names = {"0": ("ln_self_", "self_"), "1": ("ln_cross_", "cross_"),
+                     "2": ("ln_mlp_", "mlp_")}
+            ln_name, fn_name = names[slot]
+            m2 = re.match(r"norm\.(weight|bias)$", drest)
+            if m2:
+                _set(params, base + (f"{ln_name}{i}",
+                                     "scale" if m2.group(1) == "weight"
+                                     else "bias"),
+                     np.asarray(val, np.float32))
+                continue
+            m2 = re.match(r"fn\.(to_qkv|to_q|to_k|to_v)\.weight$", drest)
+            if m2:
+                dense_v(base + (f"{fn_name}{i}", m2.group(1)), "weight", val)
+                continue
+            m2 = re.match(r"fn\.to_out\.0\.(weight|bias)$", drest)
+            if m2:
+                dense_v(base + (f"{fn_name}{i}", "to_out"), m2.group(1), val)
+                continue
+            m2 = re.match(r"fn\.net\.([03])\.(weight|bias)$", drest)
+            if m2:
+                fc = "fc1" if m2.group(1) == "0" else "fc2"
+                dense_v(base + (f"{fn_name}{i}", fc), m2.group(2), val)
+                continue
+    return params
+
+
+def torch_hat_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Convert the reference HAT GeneratorResNet state_dict
+    (MSI_SR_model/model/hat.py:615-877) to Flax HAT params (msi/hat.py).
+
+    Buffers (relative_position_index_SA/OCA, attn_mask) are dropped; note
+    the reference Upsample appends the SAME conv module per stage
+    (hat.py:597-607), so upsample.upsampling.0 and .2 carry identical
+    tensors — both Flax convs receive them."""
+    params: dict = {}
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+
+    def conv(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _conv_w(val) if key == "weight" else np.asarray(val, np.float32))
+
+    def dense(path, key, val):
+        _set(params, path + ("kernel" if key == "weight" else "bias",),
+             _dense_w(val) if key == "weight" else np.asarray(val, np.float32))
+
+    def ln(path, key, val):
+        _set(params, path + ("scale" if key == "weight" else "bias",),
+             np.asarray(val, np.float32))
+
+    def attn_block(base, rest, val):
+        mm = re.match(r"(norm1|norm2)\.(weight|bias)$", rest)
+        if mm:
+            ln(base + (mm.group(1),), mm.group(2), val); return True
+        if rest == "relative_position_bias_table":
+            _set(params, base + ("relative_position_bias_table",),
+                 np.asarray(val, np.float32))
+            return True
+        mm = re.match(r"(qkv|proj)\.(weight|bias)$", rest)
+        if mm:
+            dense(base + (mm.group(1),), mm.group(2), val); return True
+        mm = re.match(r"mlp\.fc([12])\.(weight|bias)$", rest)
+        if mm:
+            dense(base + (f"mlp_fc{mm.group(1)}",), mm.group(2), val)
+            return True
+        return False
+
+    for key, val in sd.items():
+        if "relative_position_index" in key or key.endswith("attn_mask")                 or key == "mean":
+            continue
+        m = re.match(r"(conv_first|conv_after_body|conv_last)"
+                     r"\.(weight|bias)$", key)
+        if m:
+            conv((m.group(1),), m.group(2), val)
+            continue
+        m = re.match(r"conv_before_upsample\.0\.(weight|bias)$", key)
+        if m:
+            conv(("conv_before_upsample",), m.group(1), val)
+            continue
+        m = re.match(r"upsample\.upsampling\.(\d+)\.(weight|bias)$", key)
+        if m:
+            conv((f"upsample_conv_{int(m.group(1)) // 2}",), m.group(2), val)
+            continue
+        m = re.match(r"patch_embed\.norm\.(weight|bias)$", key)
+        if m:
+            ln(("patch_norm",), m.group(1), val)
+            continue
+        m = re.match(r"norm\.(weight|bias)$", key)
+        if m:
+            ln(("norm",), m.group(1), val)
+            continue
+        m = re.match(r"layers\.(\d+)\.conv\.(weight|bias)$", key)
+        if m:
+            conv((f"layer_{m.group(1)}", "conv"), m.group(2), val)
+            continue
+        m = re.match(r"layers\.(\d+)\.residual_group\.overlap_attn\."
+                     r"(.+)$", key)
+        if m:
+            i, rest = m.groups()
+            rest = rest.replace("attn.", "") if rest.startswith("attn.")                 else rest
+            attn_block((f"layer_{i}", "overlap_attn"), rest, val)
+            continue
+        m = re.match(r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\."
+                     r"(.+)$", key)
+        if m:
+            i, j, rest = m.groups()
+            base = (f"layer_{i}", f"block_{j}")
+            if rest.startswith("attn."):
+                arest = rest[len("attn."):]
+                if attn_block(base + ("attn",), arest, val):
+                    continue
+            mm = re.match(r"conv_block\.cab\.0\.(weight|bias)$", rest)
+            if mm:
+                conv(base + ("conv_block", "conv1"), mm.group(1), val)
+                continue
+            mm = re.match(r"conv_block\.cab\.2\.(weight|bias)$", rest)
+            if mm:
+                conv(base + ("conv_block", "conv2"), mm.group(1), val)
+                continue
+            mm = re.match(r"conv_block\.cab\.3\.attention\.([13])\."
+                          r"(weight|bias)$", rest)
+            if mm:
+                fc = "ca_fc1" if mm.group(1) == "1" else "ca_fc2"
+                conv(base + ("conv_block", fc), mm.group(2), val)
+                continue
+            attn_block(base, rest, val)
+    return params
+
+
 def strip_diffusion_prefix(state_dict: Dict[str, "np.ndarray"],
                            prefix: str = "denoise_fn.") -> dict:
     """Extract the UNet sub-dict from a full GaussianDiffusion state_dict
@@ -470,7 +783,7 @@ def main(argv=None):  # pragma: no cover - thin CLI
     p.add_argument("out", help="output checkpoint dir")
     p.add_argument("--arch", default="fastdiffsr",
                    choices=["fastdiffsr", "ddpm", "tesr", "gdp", "swinir",
-                            "nafnet"])
+                            "nafnet", "hsenet", "transenet", "hat"])
     args = p.parse_args(argv)
 
     sd = torch.load(args.ckpt, map_location="cpu")
@@ -486,6 +799,12 @@ def main(argv=None):  # pragma: no cover - thin CLI
         params = torch_guided_unet_to_flax(sd)
     elif args.arch == "swinir":
         params = torch_swinir_to_flax(sd)
+    elif args.arch == "hsenet":
+        params = torch_hsenet_to_flax(sd)
+    elif args.arch == "transenet":
+        params = torch_transenet_to_flax(sd)
+    elif args.arch == "hat":
+        params = torch_hat_to_flax(sd)
     else:
         params = torch_nafnet_to_flax(sd)
 

@@ -115,9 +115,11 @@ class SSEM(nn.Module):
 
 
 def _bilinear(x, shape_hw):
+    # antialias=False: torch F.interpolate(mode='bilinear') never
+    # antialiases (hsenet.py:308-313), jax.image.resize does by default
     b, _, _, c = x.shape
     return jax.image.resize(x, (b, shape_hw[0], shape_hw[1], c),
-                            method="bilinear")
+                            method="bilinear", antialias=False)
 
 
 class HSEM(nn.Module):

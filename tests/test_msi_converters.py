@@ -1,0 +1,158 @@
+"""Golden parity for the remaining MSI baselines: Flax HSENet / TransENet /
+HAT vs the reference torch models (small configs) with converted weights.
+
+Loads each reference model file by exec'ing it up to its trainer class with
+unavailable imports (torchvision/skimage/timm/data/utils) stripped/stubbed,
+mirroring tests/test_swinir_parity.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from tests.conftest import requires_reference, REFERENCE_ROOT
+
+MSI = REFERENCE_ROOT / "MSI_SR_model" / "model"
+
+BAD_PREFIXES = ("from torchvision", "import torchvision", "from skimage",
+                "from utils", "from data", "import data", "from timm",
+                "import timm", "from loss", "from model.transformer",
+                "from model.base_networks", "import argparse")
+
+
+def _exec_ref(fname: str, cut_class: str, extra_ns=None):
+    import torch
+    import torch.nn as t_nn
+
+    path = MSI / fname
+    lines = path.read_text().split("\n")
+    for i, ln in enumerate(lines):
+        if ln.startswith(cut_class):
+            lines = lines[:i]
+            break
+    lines = [ln for ln in lines if not ln.strip().startswith(BAD_PREFIXES)]
+    src = "\n".join(lines)
+
+    class DropPath(t_nn.Module):
+        def __init__(self, drop_prob=None):
+            super().__init__()
+
+        def forward(self, x):
+            return x
+
+    def to_2tuple(v):
+        return v if isinstance(v, tuple) else (v, v)
+
+    def trunc_normal_(tensor, std=1.0, **kw):
+        with torch.no_grad():
+            tensor.normal_(0, std).clamp_(-2 * std, 2 * std)
+        return tensor
+
+    ns = {"__name__": f"ref_{fname[:-3]}", "DropPath": DropPath,
+          "to_2tuple": to_2tuple, "trunc_normal_": trunc_normal_}
+    ns.update(extra_ns or {})
+    exec(compile(src, str(path), "exec"), ns)
+    return ns
+
+
+@requires_reference
+def test_hsenet_matches_torch():
+    import torch
+
+    torch.manual_seed(0)
+    ns = _exec_ref("hsenet.py", "class HSENet(object)")
+    tnet = ns["HSENET"](n_feats=8, scale=2, n_basic_modules=2).eval()
+    # the reference zero-inits every non-local W conv (hsenet.py:196-198,
+    # 246-248), which would mask the attention and cross-scale bilinear
+    # paths entirely — randomize all weights so the test exercises them
+    gen = torch.Generator().manual_seed(7)
+    with torch.no_grad():
+        for name, p in tnet.named_parameters():
+            if name.startswith(("sub_mean", "add_mean")):
+                continue  # fixed mean-shift convs, baked into the Flax model
+            p.copy_(torch.randn(p.shape, generator=gen) * 0.05)
+
+    from fastdiffsr_tpu.msi.hsenet import HSENet
+    from fastdiffsr_tpu.models.convert import torch_hsenet_to_flax
+
+    fnet = HSENet(scale=2, n_feats=8, n_basic_modules=2)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = torch_hsenet_to_flax(sd)
+
+    rng = np.random.default_rng(1)
+    x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(fnet.apply({"params": params}, jnp.asarray(x)))
+    assert out_f.shape == out_t.shape
+    np.testing.assert_allclose(out_f, out_t, atol=3e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_transenet_matches_torch():
+    import torch
+
+    torch.manual_seed(0)
+    # transformer.py first (TransformerEncoder/Decoder live there)
+    tpath = MSI / "transformer.py"
+    tns = {"__name__": "ref_transformer"}
+    exec(compile(tpath.read_text(), str(tpath), "exec"), tns)
+
+    ns = _exec_ref("transenet.py", "class TransENetModel(object)",
+                   extra_ns={"TransformerEncoder": tns["TransformerEncoder"],
+                             "TransformerDecoder": tns["TransformerDecoder"]})
+    tnet = ns["TransENet"](n_feats=8, scale=2, hr_patch_size=64,
+                           en_depth=1, de_depth=1).eval()
+
+    from fastdiffsr_tpu.msi.transenet import TransENet
+    from fastdiffsr_tpu.models.convert import torch_transenet_to_flax
+
+    fnet = TransENet(scale=2, n_feats=8, en_depth=1, de_depth=1)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = torch_transenet_to_flax(sd)
+
+    rng = np.random.default_rng(2)
+    x = rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(fnet.apply({"params": params}, jnp.asarray(x)))
+    assert out_f.shape == out_t.shape
+    np.testing.assert_allclose(out_f, out_t, atol=3e-4, rtol=1e-3)
+
+
+@requires_reference
+def test_hat_matches_torch():
+    import torch
+
+    torch.manual_seed(0)
+    ns = _exec_ref("hat.py", "class HAT(object)")
+    tnet = ns["GeneratorResNet"](
+        img_size=8, in_chans=3, embed_dim=24, depths=(2, 2),
+        num_heads=(2, 2), window_size=4, compress_ratio=3,
+        squeeze_factor=4, conv_scale=0.01, overlap_ratio=0.5,
+        mlp_ratio=2.0, upscale=2, img_range=1.0,
+        upsampler="pixelshuffle", drop_path_rate=0.0).eval()
+
+    from fastdiffsr_tpu.msi.hat import HAT
+    from fastdiffsr_tpu.models.convert import torch_hat_to_flax
+
+    fnet = HAT(upscale=2, in_chans=3, embed_dim=24, depths=(2, 2),
+               num_heads=(2, 2), window_size=4, compress_ratio=3,
+               squeeze_factor=4, conv_scale=0.01, overlap_ratio=0.5,
+               mlp_ratio=2.0, img_range=1.0)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = torch_hat_to_flax(sd)
+
+    rng = np.random.default_rng(3)
+    # window-divisible input: the vendored reference never crops the padded
+    # output back (hat.py:861-877), so non-multiples change output shape
+    x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(fnet.apply({"params": params}, jnp.asarray(x)))
+    assert out_f.shape == out_t.shape
+    np.testing.assert_allclose(out_f, out_t, atol=3e-4, rtol=1e-3)
