@@ -208,3 +208,78 @@ class IRSDE:
 
         x, _ = jax.lax.scan(step, xt, ts)
         return x
+
+    # ------------------------------------------------------------------ #
+    # black-box ODE sampling (adaptive RK45)
+    # ------------------------------------------------------------------ #
+
+    def ode_sampler(self, noise_fn: NoiseFn, xt, mu,
+                    rtol: float = 1e-5, atol: float = 1e-5,
+                    eps: float = 1e-3, max_steps: int = 10_000):
+        """Probability-flow ODE sampling with an adaptive Dormand-Prince
+        RK45 integrator (reference ode_sampler, sde_utils.py:264-288, which
+        wraps scipy.integrate.solve_ivp over t in (T, eps) step units with
+        ``t = int(t)`` inside the drift). This is the same solver expressed
+        as one ``lax.while_loop`` XLA program — no host round-trips per
+        step. Returns (x, n_accepted_steps)."""
+        b = self.b
+        bsz = xt.shape[0]
+
+        # Dormand-Prince 5(4) tableau (same pair as scipy's RK45)
+        C = jnp.array([0.0, 1 / 5, 3 / 10, 4 / 5, 8 / 9, 1.0, 1.0])
+        A = jnp.array([
+            [0, 0, 0, 0, 0, 0],
+            [1 / 5, 0, 0, 0, 0, 0],
+            [3 / 40, 9 / 40, 0, 0, 0, 0],
+            [44 / 45, -56 / 15, 32 / 9, 0, 0, 0],
+            [19372 / 6561, -25360 / 2187, 64448 / 6561, -212 / 729, 0, 0],
+            [9017 / 3168, -355 / 33, 46732 / 5247, 49 / 176,
+             -5103 / 18656, 0],
+        ])
+        B5 = jnp.array([35 / 384, 0, 500 / 1113, 125 / 192,
+                        -2187 / 6784, 11 / 84, 0.0])
+        # error weights b5 - b4 (last entry couples the FSAL stage)
+        E = jnp.array([71 / 57600, 0, -71 / 16695, 71 / 1920,
+                       -17253 / 339200, 22 / 525, -1 / 40])
+
+        def drift(x, t_cont):
+            # the reference drift truncates to an int schedule index
+            t_idx = jnp.clip(t_cont.astype(jnp.int32), 1, b.T)
+            noise_pred = noise_fn(x, mu, jnp.full((bsz,), t_idx, jnp.float32))
+            score = self.get_score_from_noise(
+                noise_pred.astype(jnp.float32), t_idx)
+            return self.ode_reverse_drift(x, mu, score, t_idx)
+
+        t0 = jnp.float32(b.T)
+        h0 = jnp.float32(-(b.T - eps) / 50.0)  # first trial step
+
+        def cond(carry):
+            x, t, h, k_last, n, done = carry
+            return jnp.logical_and(~done, n < max_steps)
+
+        def body(carry):
+            x, t, h, k1, n, done = carry
+            h = jnp.maximum(h, eps - t)  # clamp the final (negative) step
+            ks = [k1]
+            for i in range(1, 7):
+                incr = sum(A[i, j] * ks[j] for j in range(i)) if i < 6 \
+                    else sum(B5[j] * ks[j] for j in range(6))
+                ks.append(drift(x + h * incr, t + C[i] * h))
+            x5 = x + h * sum(B5[j] * ks[j] for j in range(6))
+            err = h * sum(E[j] * ks[j] for j in range(7))
+            scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
+            err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            accept = err_norm <= 1.0
+            factor = jnp.clip(0.9 * (1.0 / jnp.maximum(err_norm, 1e-10))
+                              ** 0.2, 0.2, 10.0)
+            h_new = h * factor
+            x_n = jnp.where(accept, x5, x)
+            t_n = jnp.where(accept, t + h, t)
+            k_n = jnp.where(accept, ks[6], k1)  # FSAL: k7 = next k1
+            done_n = jnp.logical_and(accept, t_n <= eps + 1e-6)
+            return (x_n, t_n, h_new, k_n, n + 1, done_n)
+
+        k1 = drift(xt, t0)
+        x, t, h, _, n, done = jax.lax.while_loop(
+            cond, body, (xt, t0, h0, k1, jnp.int32(0), jnp.bool_(False)))
+        return x, n

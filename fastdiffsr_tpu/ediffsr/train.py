@@ -84,6 +84,11 @@ def main(argv=None):
                         help="run the test/eval path instead of training")
     parser.add_argument("--max_iters", type=int, default=None,
                         help="override niter (smoke runs)")
+    parser.add_argument("--sampler", default="sde",
+                        choices=["sde", "ode", "rk45"],
+                        help="test-time sampler: ancestral reverse-SDE, "
+                             "Euler probability-flow ODE, or adaptive "
+                             "RK45 (reference ode_sampler)")
     args = parser.parse_args(argv)
 
     from .options import parse_options
@@ -134,8 +139,12 @@ def main(argv=None):
         def restore(params, lq, key):
             mu = upscale(lq)
             xt = sde.noise_state(mu, key)
-            return sde.reverse_sde(
-                lambda x, m, t: apply_fn(params, x, m, t), xt, mu, key)
+            fn = lambda x, m, t: apply_fn(params, x, m, t)
+            if args.sampler == "rk45":
+                x, _ = sde.ode_sampler(fn, xt, mu)
+                return x
+            return sde.reverse_sde(fn, xt, mu, key,
+                                   ode=(args.sampler == "ode"))
 
         psnrs, times = [], []
         for i, batch in enumerate(loaders["val"]):

@@ -178,3 +178,52 @@ def test_nafnet_matches_torch():
                                   deterministic=True))
     assert out_f.shape == out_t.shape
     np.testing.assert_allclose(out_f, out_t, atol=2e-4, rtol=1e-3)
+
+
+def test_ode_sampler_matches_scipy_rk45():
+    """Pure-JAX adaptive RK45 (IRSDE.ode_sampler) vs scipy solve_ivp RK45 on
+    the identical drift (the reference ode_sampler wraps scipy the same way,
+    sde_utils.py:264-288)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from scipy import integrate
+
+    from fastdiffsr_tpu.diffusion.sde import IRSDE, IRSDEBuffers
+
+    T = 20
+    sde = IRSDE(IRSDEBuffers.create(max_sigma=10.0, T=T, schedule="cosine",
+                                    eps=0.005))
+    mu = jnp.asarray(np.random.default_rng(0).uniform(
+        -1, 1, (1, 4, 4, 3)), jnp.float32)
+    rng = jax.random.PRNGKey(1)
+    xt = sde.noise_state(mu, rng)
+
+    # deterministic "network": predicted noise = scaled tanh of the state
+    def noise_fn(x, m, t):
+        return jnp.tanh(x - m) * 0.3
+
+    # tight tolerances: the drift is discontinuous in t (int truncation),
+    # so the two adaptive controllers only agree in the tol -> 0 limit
+    x_jax, nsteps = sde.ode_sampler(noise_fn, xt, mu,
+                                    rtol=1e-7, atol=1e-7, eps=1e-3)
+    assert int(nsteps) > 0
+
+    # scipy on the same drift
+    b = sde.b
+    shape = xt.shape
+
+    def ode_func(t, flat):
+        t_idx = int(np.clip(int(t), 1, T))
+        x = jnp.asarray(flat.reshape(shape), jnp.float32)
+        noise = noise_fn(x, mu, None)
+        score = sde.get_score_from_noise(noise, t_idx)
+        return np.asarray(
+            sde.ode_reverse_drift(x, mu, score, t_idx)).reshape(-1)
+
+    sol = integrate.solve_ivp(ode_func, (T, 1e-3),
+                              np.asarray(xt).reshape(-1).astype(np.float64),
+                              rtol=1e-7, atol=1e-7, method="RK45")
+    x_scipy = sol.y[:, -1].reshape(shape)
+    np.testing.assert_allclose(np.asarray(x_jax), x_scipy,
+                               atol=2e-2, rtol=2e-2)
