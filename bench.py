@@ -50,6 +50,10 @@ def bench_full():
          SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
                  attn_res=(16,), res_blocks=2, image_size=256,
                  dtype=jnp.bfloat16)),
+        ("tesr", "tesr", 2000,
+         SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
+                 attn_res=(16,), res_blocks=2, image_size=256,
+                 dtype=jnp.bfloat16)),
     ]:
         sched = ("linear_cosine" if variant == "fastdiffsr" else "linear")
         engine = DiffusionEngine(
@@ -73,8 +77,61 @@ def bench_full():
         rows.append((name, T, B / dt, dt / B))
         print(f"{name:>10} T={T:5d}: {B / dt:8.3f} img/s "
               f"({dt / B * 1000:.0f} ms/img)")
-    if len(rows) == 2:
-        print(f"speedup fastdiffsr vs ddpm: {rows[0][2] / rows[1][2]:.1f}x")
+    if len(rows) >= 2:
+        for other in rows[1:]:
+            print(f"speedup fastdiffsr vs {other[0]}: "
+                  f"{rows[0][2] / other[2]:.1f}x")
+
+
+def bench_train():
+    """Training-step throughput: jitted train_step (fwd+bwd+Adam+EMA) on
+    the paper config (batch 4, 256x256, lr 2e-4;
+    config/sr_fastdiffsr_train_64_256.json:78-92). Also reports a
+    larger-batch point — single-GPU reference trains at batch 4, but the
+    TPU path is free to use bigger batches."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
+                                          ScheduleBuffers)
+    from fastdiffsr_tpu.models import FastDiffSRUNet
+    from fastdiffsr_tpu.train import create_train_state, make_train_step
+
+    engine = DiffusionEngine(
+        DiffusionSpec.for_variant("fastdiffsr"),
+        ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
+                                "linear_start": 1e-6, "linear_end": 1e-2}))
+    net = FastDiffSRUNet(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+
+    for B in (4, 32):
+        H = W = 256
+        params = net.init(rng, jnp.zeros((1, H, W, 6)),
+                          jnp.ones((1,)))["params"]
+
+        def apply_fn(p, x_in, level, drop_rng):
+            return net.apply({"params": p}, x_in, level,
+                             deterministic=False,
+                             rngs={"dropout": drop_rng})
+
+        tx = optax.adam(2e-4)
+        state = create_train_state(params, tx)
+        step_fn = make_train_step(engine, apply_fn, tx)
+        batch = {"HR": jax.random.uniform(rng, (B, H, W, 3), jnp.float32,
+                                          -1, 1),
+                 "SR": jax.random.uniform(rng, (B, H, W, 3), jnp.float32,
+                                          -1, 1)}
+        state, m = step_fn(state, batch, rng)    # compile
+        _ = float(m["l_pix"])
+        n = 10
+        t0 = time.time()
+        for i in range(n):
+            state, m = step_fn(state, batch, jax.random.fold_in(rng, i))
+        _ = float(m["l_pix"])
+        dt = (time.time() - t0) / n
+        print(f"train batch {B}: {dt * 1e3:7.1f} ms/step "
+              f"{B / dt:8.2f} img/s  (l_pix {float(m['l_pix']):.4f})")
 
 
 def main():
@@ -130,7 +187,16 @@ def main():
 
 if __name__ == "__main__":
     import sys
-    if "--full" in sys.argv:
+    if "--profile" in sys.argv:
+        # wrap the timed region in a jax.profiler trace (xplane under
+        # /tmp/fastdiffsr_trace, readable with tensorboard-plugin-profile)
+        import jax
+        with jax.profiler.trace("/tmp/fastdiffsr_trace"):
+            main()
+        print("trace written to /tmp/fastdiffsr_trace", file=sys.stderr)
+    elif "--train" in sys.argv:
+        bench_train()
+    elif "--full" in sys.argv:
         bench_full()
     else:
         main()

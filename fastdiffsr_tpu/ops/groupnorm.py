@@ -137,17 +137,76 @@ def _pallas_enabled() -> bool:
     return False
 
 
+def channel_stats_pallas(x: jax.Array) -> jax.Array:
+    """Per-channel (sum, sum-of-squares) over H,W of an NHWC map, as a
+    tiled Pallas reduction: (B, H, W, C) -> (B, 2, C) f32.
+
+    Exists because XLA's kOutput conv+reduce fusions schedule the conv
+    ~2.5x slower (see BASELINE.md); a separate VMEM-tiled pass keeps the
+    conv on its fast emitter. Blocks are carved from the 4D array directly
+    (no host reshape -> no relayout copy).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    # tile H so a (th, W, C) f32 block stays ~2MB
+    th = max(1, min(h, (2 << 20) // (4 * w * c)))
+    while h % th:
+        th -= 1
+    n_tiles = h // th
+
+    def kernel(x_ref, out_ref):
+        xb = x_ref[0].astype(jnp.float32)              # (th, W, C)
+        s1 = jnp.sum(xb, axis=(0, 1))                  # (C,)
+        s2 = jnp.sum(xb * xb, axis=(0, 1))
+        out_ref[0, 0] = jnp.stack([s1, s2])            # (2, C)
+
+    partial = pl.pallas_call(
+        kernel,
+        grid=(b, n_tiles),
+        in_specs=[pl.BlockSpec((1, th, w, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 2, c), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n_tiles, 2, c), jnp.float32),
+    )(x)
+    return jnp.sum(partial, axis=1)
+
+
+def gn_swish_stats(x, scale, bias, groups: int, eps: float = 1e-5):
+    """GroupNorm+Swish with Pallas channel stats and a reshape-free
+    normalize (broadcast elementwise only, so XLA fuses it into the
+    next conv's prologue instead of materializing f32)."""
+    b, h, w, c = x.shape
+    cg = c // groups
+    stats = channel_stats_pallas(x)                    # (B, 2, C)
+    cnt = float(h * w * cg)
+    gsum = jnp.sum(stats[:, 0].reshape(b, groups, cg), axis=-1)
+    gsq = jnp.sum(stats[:, 1].reshape(b, groups, cg), axis=-1)
+    mean_g = gsum / cnt
+    inv_g = jax.lax.rsqrt(jnp.maximum(gsq / cnt - mean_g ** 2, 0.0) + eps)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)[:, None, None, :]
+    inv_c = jnp.repeat(inv_g, cg, axis=-1)[:, None, None, :]
+    xf = x.astype(jnp.float32)
+    y = (xf - mean_c) * (inv_c * scale.astype(jnp.float32)) \
+        + bias.astype(jnp.float32)
+    y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 def default_fused_norm() -> str:
     """Model-level fused-norm mode from the environment.
 
     FASTDIFFSR_TPU_FUSED_NORM: '' (plain nn.GroupNorm, exact parity path),
     'xla' (f32 stats, output cast to compute dtype — one fused elementwise
-    chain instead of an f32 materialization), 'pallas' (tiled VMEM kernel).
+    chain instead of an f32 materialization), 'pallas' (tiled VMEM kernel),
+    'stats' (Pallas channel-stats pass + reshape-free XLA normalize).
     """
     mode = os.environ.get("FASTDIFFSR_TPU_FUSED_NORM", "")
-    if mode not in ("", "xla", "pallas"):
+    if mode not in ("", "xla", "pallas", "stats"):
         raise ValueError(f"FASTDIFFSR_TPU_FUSED_NORM={mode!r} "
-                         "(want '', 'xla' or 'pallas')")
+                         "(want '', 'xla', 'pallas' or 'stats')")
     return mode
 
 

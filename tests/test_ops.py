@@ -81,3 +81,35 @@ def test_fused_gn_swish_module_param_compat():
     y0 = plain.apply({"params": params}, x, lvl, deterministic=True)
     y1 = fused.apply({"params": params}, x, lvl, deterministic=True)
     assert jnp.max(jnp.abs(y0 - y1)) < 1e-4
+
+
+def test_channel_stats_pallas_interpret():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from fastdiffsr_tpu.ops.groupnorm import channel_stats_pallas
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 32)), jnp.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(channel_stats_pallas(x))
+    want = np.stack([np.asarray(x).sum(axis=(1, 2)),
+                     (np.asarray(x) ** 2).sum(axis=(1, 2))], axis=1)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_gn_swish_stats_cpu_interpret():
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from fastdiffsr_tpu.ops.groupnorm import (gn_swish_stats,
+                                              _gn_swish_reference)
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 32)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(32) * 0.1 + 1, jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(32) * 0.1, jnp.float32)
+    want = np.asarray(_gn_swish_reference(x, scale, bias, 8, 1e-5))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(gn_swish_stats(x, scale, bias, 8))
+    np.testing.assert_allclose(got, want, atol=1e-5)
