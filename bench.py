@@ -161,7 +161,15 @@ def main():
     def apply_fn(p, x_in, level, _rng):
         return net.apply({"params": p}, x_in, level, deterministic=True)
 
-    sample_fn = make_sample_fn(engine, apply_fn)
+    # on a multi-chip host, shard the batch over a DP mesh (B scales with
+    # the device count; the metric stays per-chip)
+    n_dev = jax.device_count()
+    mesh = None
+    if n_dev > 1:
+        from fastdiffsr_tpu.parallel import make_mesh
+        mesh = make_mesh(n_dev)
+        B = B * n_dev
+    sample_fn = make_sample_fn(engine, apply_fn, mesh=mesh)
 
     cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32, -1.0, 1.0)
 
@@ -176,11 +184,11 @@ def main():
     out = np.asarray(out)
     dt = time.time() - t0
 
-    imgs_per_sec = n_rep * B / dt
+    imgs_per_sec = n_rep * B / dt / n_dev
     print(json.dumps({
         "metric": "sr_images_per_sec_per_chip_64to256_T20",
         "value": round(float(imgs_per_sec), 3),
-        "unit": f"images/sec/chip (batch {B}, {backend})",
+        "unit": f"images/sec/chip (batch {B}, {n_dev} chip(s), {backend})",
         "vs_baseline": round(float(imgs_per_sec) / REF_IMAGES_PER_SEC_EST, 2),
     }))
 
