@@ -73,7 +73,14 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
 
     val_set = create_dataset(opt["datasets"]["val"], "val")
     val_loader = create_dataloader(val_set, opt["datasets"]["val"], "val")
-    sample_fn = make_sample_fn(engine_val, apply_fn, mesh=mesh)
+    # optional DDIM override via model.diffusion {sampler, ddim_steps,
+    # ddim_eta} — capability beyond the reference schema, default ancestral
+    diff_opt = (opt.get("model") or {}).get("diffusion") or {}
+    sample_fn = make_sample_fn(
+        engine_val, apply_fn, mesh=mesh,
+        sampler=diff_opt.get("sampler") or "ancestral",
+        ddim_steps=diff_opt.get("ddim_steps"),
+        ddim_eta=float(diff_opt.get("ddim_eta") or 0.0))
 
     rng = jax.random.PRNGKey(opt.get("val_seed") or 0)
     sums = {"psnr": 0.0, "ssim": 0.0, "mse": 0.0, "ergas": 0.0, "lpips": 0.0,

@@ -279,6 +279,83 @@ class DiffusionEngine:
             return to_img(img), jax.vmap(to_img)(traj)
         return to_img(img)
 
+    def sample_ddim(self,
+                    denoise_fn: DenoiseFn,
+                    cond: Optional[jax.Array],
+                    rng: jax.Array,
+                    steps: Optional[int] = None,
+                    eta: float = 0.0,
+                    shape: Optional[tuple] = None,
+                    init_noise: Optional[jax.Array] = None) -> jax.Array:
+        """DDIM sampling (Song et al., ICLR 2021) with timestep
+        subsampling — a speed/quality knob beyond the reference: a model
+        trained at T steps can sample in ``steps <= T`` UNet evals
+        (deterministic when ``eta=0``). Same one-scan structure as
+        :meth:`sample`; per-step constants are precomputed host-side.
+        """
+        import numpy as np
+
+        spec = self.spec
+        b = self.buffers
+        T = b.num_timesteps
+        steps = int(steps or T)
+        if shape is None:
+            assert cond is not None
+            shape = cond.shape
+        bsz = shape[0]
+
+        # descending timestep subsequence t_k, with t_prev -> -1 at the end
+        ts = np.unique(np.linspace(0, T - 1, steps).round()
+                       .astype(np.int64))[::-1]
+        t_prev = np.append(ts[1:], -1)
+        ac = np.asarray(b.alphas_cumprod, np.float64)
+        a_t = ac[ts]
+        a_prev = np.where(t_prev >= 0, ac[np.maximum(t_prev, 0)], 1.0)
+        sigma = (eta * np.sqrt((1 - a_prev) / (1 - a_t))
+                 * np.sqrt(1 - a_t / a_prev))
+        consts = {
+            "t": jnp.asarray(ts, jnp.int32),
+            "noise_level": jnp.asarray(np.sqrt(a_t), jnp.float32),
+            "sqrt_a_t": jnp.asarray(np.sqrt(a_t), jnp.float32),
+            "sqrt_1m_a_t": jnp.asarray(np.sqrt(1 - a_t), jnp.float32),
+            "sqrt_a_prev": jnp.asarray(np.sqrt(a_prev), jnp.float32),
+            "dir_coef": jnp.asarray(
+                np.sqrt(np.maximum(1 - a_prev - sigma ** 2, 0.0)),
+                jnp.float32),
+            "sigma": jnp.asarray(sigma, jnp.float32),
+        }
+
+        rng_init, rng_steps = jax.random.split(rng)
+        if init_noise is None:
+            init_noise = jax.random.normal(rng_init, shape, jnp.float32)
+
+        def step(x, c):
+            if spec.conditioning == "discrete_t":
+                level = jnp.full((bsz,), c["t"], jnp.float32)
+            else:
+                level = jnp.full((bsz,), c["noise_level"], jnp.float32)
+            model_out = denoise_fn(self._pack(x, cond),
+                                   level).astype(jnp.float32)
+            if spec.prediction == "x0":
+                x0 = model_out
+            else:
+                x0 = (x - c["sqrt_1m_a_t"] * model_out) / c["sqrt_a_t"]
+            if spec.clip_denoised:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            # re-derive eps from the (possibly clipped) x0 for consistency
+            eps = (x - c["sqrt_a_t"] * x0) / jnp.maximum(c["sqrt_1m_a_t"],
+                                                         1e-8)
+            noise = jax.random.normal(jax.random.fold_in(rng_steps, c["t"]),
+                                      x.shape, jnp.float32)
+            x_next = (c["sqrt_a_prev"] * x0 + c["dir_coef"] * eps
+                      + c["sigma"] * noise)
+            return x_next, None
+
+        img, _ = jax.lax.scan(step, init_noise, consts)
+        if spec.target_space == "residual":
+            return res2img(img, cond)
+        return img
+
     def interpolate(self, denoise_fn: DenoiseFn, x1: jax.Array,
                     x2: jax.Array, rng: jax.Array,
                     t: Optional[int] = None, lam: float = 0.5) -> jax.Array:

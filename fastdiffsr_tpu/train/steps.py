@@ -79,12 +79,21 @@ def make_train_step(engine: DiffusionEngine,
 def make_sample_fn(engine: DiffusionEngine,
                    apply_fn: Callable,
                    mesh=None,
-                   return_trajectory: bool = False):
+                   return_trajectory: bool = False,
+                   sampler: str = "ancestral",
+                   ddim_steps: Optional[int] = None,
+                   ddim_eta: float = 0.0):
     """Returns sample(params, cond, rng) -> SR batch (B,H,W,C).
 
     The whole T-step reverse loop compiles to one XLA program. ``cond`` is
-    the bicubic-upsampled LR batch in [-1, 1].
+    the bicubic-upsampled LR batch in [-1, 1]. ``sampler='ddim'`` switches
+    to DDIM with ``ddim_steps`` UNet evals (<= T; deterministic when
+    ``ddim_eta=0``) — a speed knob the reference does not have.
     """
+    if sampler not in ("ancestral", "ddim"):
+        raise ValueError(f"sampler={sampler!r} (want 'ancestral' or 'ddim')")
+    if sampler == "ddim" and return_trajectory:
+        raise ValueError("trajectory output is ancestral-only")
 
     def denoiser(params):
         def fn(x_in, level):
@@ -92,6 +101,9 @@ def make_sample_fn(engine: DiffusionEngine,
         return fn
 
     def sample(params, cond, rng):
+        if sampler == "ddim":
+            return engine.sample_ddim(denoiser(params), cond, rng,
+                                      steps=ddim_steps, eta=ddim_eta)
         return engine.sample(denoiser(params), cond, rng,
                              return_trajectory=return_trajectory)
 

@@ -171,3 +171,65 @@ def test_x0_prediction_variant():
     out = eng.sample(mock, cond, jax.random.PRNGKey(0))
     assert out.shape == (1, 8, 8, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_ddim_oracle_recovers_x0_exactly():
+    """With an oracle denoiser that returns the exact eps implied by a fixed
+    x0*, DDIM (eta=0) must land on x0* for any step count, including
+    subsampled (steps < T). Pins the update algebra."""
+    import jax
+    import jax.numpy as jnp
+    from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
+                                          ScheduleBuffers)
+    from fastdiffsr_tpu.diffusion.engine import res2img
+
+    engine = DiffusionEngine(
+        DiffusionSpec.for_variant("fastdiffsr"),
+        ScheduleBuffers.create({"schedule": "linear_cosine",
+                                "n_timestep": 20,
+                                "linear_start": 1e-6, "linear_end": 1e-2}))
+    rng = np.random.default_rng(0)
+    B, H = 2, 8
+    cond = jnp.asarray(rng.uniform(-0.5, 0.5, (B, H, H, 3)), jnp.float32)
+    x0_star = jnp.asarray(rng.uniform(-0.9, 0.9, (B, H, H, 3)), jnp.float32)
+
+    def oracle(x_in, level):
+        x = x_in[..., 3:]                       # cond_first packing
+        lv = level.reshape(-1, 1, 1, 1)
+        return (x - lv * x0_star) / jnp.sqrt(
+            jnp.maximum(1.0 - lv ** 2, 1e-12))
+
+    for steps in (20, 7, 3):
+        out = engine.sample_ddim(oracle, cond, jax.random.PRNGKey(1),
+                                 steps=steps, eta=0.0)
+        want = np.asarray(res2img(x0_star, cond))
+        np.testing.assert_allclose(np.asarray(out), want, atol=2e-5,
+                                   err_msg=f"steps={steps}")
+
+
+def test_ddim_deterministic_and_variants():
+    import jax
+    import jax.numpy as jnp
+    from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
+                                          ScheduleBuffers)
+
+    rng = np.random.default_rng(1)
+    cond = jnp.asarray(rng.uniform(-1, 1, (1, 8, 8, 3)), jnp.float32)
+
+    def fake_net(x_in, level):
+        return jnp.tanh(x_in[..., :3]) * 0.1
+
+    for variant, T in [("fastdiffsr", 20), ("gdp", 10)]:
+        engine = DiffusionEngine(
+            DiffusionSpec.for_variant(variant),
+            ScheduleBuffers.create({"schedule": "linear", "n_timestep": T,
+                                    "linear_start": 1e-4,
+                                    "linear_end": 2e-2}))
+        noise = jnp.zeros((1, 8, 8, 3), jnp.float32)
+        o1 = engine.sample_ddim(fake_net, cond, jax.random.PRNGKey(2),
+                                steps=5, eta=0.0, init_noise=noise)
+        o2 = engine.sample_ddim(fake_net, cond, jax.random.PRNGKey(9),
+                                steps=5, eta=0.0, init_noise=noise)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
+                                   atol=0, err_msg=variant)
+        assert np.isfinite(np.asarray(o1)).all()
