@@ -46,23 +46,26 @@ def _positional_encoding(noise_level, dim):
 
 def _block(p, x, stats, groups, *, shift=None, res=None, want_stats=True):
     """One reference Block (GN->Swish->Conv) as a fused kernel call."""
+    dt = (x[0] if isinstance(x, tuple) else x).dtype
     return fused_gn_swish_conv3x3(
         x, p["norm"]["scale"], p["norm"]["bias"], stats,
-        p["conv"]["kernel"].astype(x.dtype), p["conv"]["bias"],
+        p["conv"]["kernel"].astype(dt), p["conv"]["bias"],
         shift=shift, res=res, groups=groups, want_stats=want_stats)
 
 
 def _resblock(p, x, stats, noise_emb, groups):
     """ResnetBlock: block1 -> +shift -> block2 -> +skip; returns
-    (out, stats_out)."""
-    dim = x.shape[-1]
+    (out, stats_out). x/stats may be tuples (skip-concat sources consumed
+    in-kernel without materializing the concat)."""
     shift = _dense(p["noise_dense"], noise_emb.astype(jnp.float32))
     h, st = _block(p["block1"], x, stats, groups, shift=shift)
+    xs = x if isinstance(x, tuple) else (x,)
     if "res_conv" in p:
-        skip = x @ p["res_conv"]["kernel"][0, 0].astype(x.dtype) \
-            + p["res_conv"]["bias"].astype(x.dtype)
+        xin = jnp.concatenate(xs, axis=-1) if len(xs) > 1 else xs[0]
+        skip = xin @ p["res_conv"]["kernel"][0, 0].astype(xin.dtype) \
+            + p["res_conv"]["bias"].astype(xin.dtype)
     else:
-        skip = x
+        skip = xs[0]
     return _block(p["block2"], h, st, groups, res=skip)
 
 
@@ -151,10 +154,8 @@ def fused_apply(params: dict,
         is_last = ind < 1
         for _ in range(res_blocks + 1):
             skip, skip_stats = feats.pop()
-            xin = jnp.concatenate([x, skip], axis=-1)
-            stats_in = jnp.concatenate([stats, skip_stats], axis=-1)
             x, stats = _resblock(params[f"ups_{idx}"]["res_block"],
-                                 xin, stats_in, t, groups)
+                                 (x, skip), (stats, skip_stats), t, groups)
             idx += 1
         if not is_last:
             p = params[f"ups_{idx}"]

@@ -13,6 +13,12 @@ as ONE VMEM pass per (batch, row-band):
   fills the 128-lane MXU (K=576) instead of running at the ~50% lane
   ceiling of a C-contraction;
 - normalize+swish happens on the row band in VMEM (no f32 HBM round-trip);
+- ``x`` may be a TUPLE of feature maps: the UNet's skip-concat inputs are
+  consumed as separate sources whose im2col parts concatenate in VMEM, so
+  the (B,H,W,C1+C2) concat never materializes in HBM. GroupNorm groups may
+  straddle the source boundary — group stats are computed on the
+  concatenated channel stats and the per-channel affine is sliced per
+  source, which is exact;
 - H-halo rows come from a thin precomputed (B, nH, 2, W, C) side array of
   band-edge rows (standard BlockSpecs cannot overlap; fetching whole
   neighbor bands instead was measured 2.6x heavier on HBM reads).
@@ -53,32 +59,51 @@ def group_stats_to_norm(stats: jax.Array, hw: int, groups: int,
     return mean_c, inv_c
 
 
-def _pick_th(h: int, w: int, c: int, co: int,
-             budget: int = 6 << 20) -> int:
-    """Row-band height such that the im2col patch buffer, its 9 staging
+def _pad128(n: int) -> int:
+    return -(-n // 128) * 128
+
+
+def _pick_th(h: int, w: int, cs, co: int, budget: int = 20 << 20) -> int:
+    """Row-band height such that the im2col patch buffer, its staging
     parts, and the f32 accumulator fit the VMEM budget; th divides h.
 
     Mosaic pads the lane (last) dim to 128, so small channel counts are
     costed at their PADDED width — without this the 9 stem parts at C=6
     each occupy a full 128-lane tile and blow the scoped-vmem limit.
     """
-    cp = -(-c // 128) * 128          # padded lanes of one part
-    katp = -(-9 * c // 128) * 128    # padded lanes of the concat
-    cop = -(-co // 128) * 128
-    per_row = w * (9 * cp * 2 + katp * 2 + cop * 4)
+    kat = _pad128(9 * sum(cs))
+    per_row = w * (sum(9 * _pad128(c) * 2 for c in cs)
+                   + kat * 2 + _pad128(co) * 4)
     th = max(1, min(h, budget // max(per_row, 1)))
     while h % th:
         th -= 1
     return max(th, 1)
 
 
+def _halos(x: jax.Array, th: int, nH: int) -> jax.Array:
+    """(B, nH, 2, W, C) band-edge rows; zero at the image borders (conv
+    zero-padding). Thin strided row slices (2*(nH-1) rows), NOT a padded
+    copy of x — a full-x pad per call costs more than the kernel saves."""
+    B, H, W, C = x.shape
+    zrow = jnp.zeros((B, 1, W, C), x.dtype)
+    if nH > 1:
+        inner_top = x[:, th - 1::th][:, :nH - 1]
+        inner_bot = x[:, th::th][:, :nH - 1]
+    else:
+        inner_top = jnp.zeros((B, 0, W, C), x.dtype)
+        inner_bot = jnp.zeros((B, 0, W, C), x.dtype)
+    top_rows = jnp.concatenate([zrow, inner_top], axis=1)   # (B, nH, W, C)
+    bot_rows = jnp.concatenate([inner_bot, zrow], axis=1)
+    return jnp.stack([top_rows, bot_rows], axis=2)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("groups", "eps", "apply_norm", "want_stats"))
-def fused_gn_swish_conv3x3(x: jax.Array,
+def fused_gn_swish_conv3x3(x,
                            gn_scale: Optional[jax.Array],
                            gn_bias: Optional[jax.Array],
-                           stats_in: Optional[jax.Array],
+                           stats_in,
                            w: jax.Array,
                            b: jax.Array,
                            shift: Optional[jax.Array] = None,
@@ -89,8 +114,9 @@ def fused_gn_swish_conv3x3(x: jax.Array,
                            want_stats: bool = True):
     """y [+ stats_y].
 
-    x: (B,H,W,C) feature map. stats_in: (B,2,C) channel sums of x over
-    H,W (from the producing kernel) — required when apply_norm. w:
+    x: (B,H,W,C) feature map, or a tuple of maps consumed as a channel
+    concat without materializing it. stats_in: (B,2,C) channel sums of x
+    over H,W (tuple matching x) — required when apply_norm. w:
     (3,3,C,Co) HWIO conv kernel, b: (Co,). shift: optional (B,Co) per-batch
     bias (FeatureWiseAffine). res: optional (B,H,W,Co) residual added
     before the stats epilogue. Returns y (B,H,W,Co) in x.dtype and, when
@@ -99,78 +125,89 @@ def fused_gn_swish_conv3x3(x: jax.Array,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    B, H, W, C = x.shape
+    xs = x if isinstance(x, tuple) else (x,)
+    n_src = len(xs)
+    B, H, W = xs[0].shape[:3]
+    Cs = [xx.shape[-1] for xx in xs]
+    C = sum(Cs)
     Co = w.shape[-1]
-    th = _pick_th(H, W, C, Co)
+    th = _pick_th(H, W, Cs, Co)
     nH = H // th
 
     if apply_norm:
-        mean_c, inv_c = group_stats_to_norm(stats_in, H * W, groups, eps)
-        scale_eff = (inv_c * gn_scale[None, :]).astype(jnp.float32)
-        bias_eff = (gn_bias[None, :]
-                    - mean_c * inv_c * gn_scale[None, :]).astype(jnp.float32)
+        sts = stats_in if isinstance(stats_in, tuple) else (stats_in,)
+        stats_cat = jnp.concatenate(sts, axis=-1) if n_src > 1 else sts[0]
+        mean_c, inv_c = group_stats_to_norm(stats_cat, H * W, groups, eps)
+        scale_full = (inv_c * gn_scale[None, :]).astype(jnp.float32)
+        bias_full = (gn_bias[None, :]
+                     - mean_c * inv_c * gn_scale[None, :]).astype(jnp.float32)
     else:  # identity prologue: y = conv(x)
-        scale_eff = jnp.ones((B, C), jnp.float32)
-        bias_eff = jnp.zeros((B, C), jnp.float32)
-    scale_eff = scale_eff[:, None, :]   # (B,1,C) so blocks are (1,1,C)
-    bias_eff = bias_eff[:, None, :]
+        scale_full = jnp.ones((B, C), jnp.float32)
+        bias_full = jnp.zeros((B, C), jnp.float32)
+
+    offs = [0]
+    for c in Cs:
+        offs.append(offs[-1] + c)
+    scales = [scale_full[:, None, offs[k]:offs[k + 1]] for k in range(n_src)]
+    biases = [bias_full[:, None, offs[k]:offs[k + 1]] for k in range(n_src)]
 
     if shift is None:
         shift = jnp.zeros((B, Co), jnp.float32)
     shift = shift.astype(jnp.float32)[:, None, :]  # (B,1,Co)
 
-    wmat = w.astype(x.dtype).reshape(9 * C, Co)   # (dy,dx,c) patch order
+    dtype = xs[0].dtype
+    # weight rows regrouped per source, each in (dy,dx,c) patch order
+    wmat = jnp.concatenate(
+        [w[:, :, offs[k]:offs[k + 1]].astype(dtype).reshape(9 * Cs[k], Co)
+         for k in range(n_src)], axis=0)
     bvec = b.astype(jnp.float32).reshape(1, Co)
 
     have_res = res is not None
     if not have_res:
-        res = jnp.zeros((B, 1, 1, Co), x.dtype)   # dummy, never read
+        res = jnp.zeros((B, 1, 1, Co), dtype)   # dummy, never read
 
-    # band-edge halo rows, zero at the image borders (conv zero-padding):
-    # halos[:, j, 0] = x[:, j*th - 1], halos[:, j, 1] = x[:, (j+1)*th].
-    # Built from thin strided row slices (2*(nH-1) rows), NOT a padded
-    # copy of x — a full-x pad per call was measured to cost more than
-    # the fused kernel saves.
-    zrow = jnp.zeros((B, 1, W, C), x.dtype)
-    inner_top = x[:, th - 1::th][:, :nH - 1] if nH > 1 else         jnp.zeros((B, 0, W, C), x.dtype)
-    inner_bot = x[:, th::th][:, :nH - 1] if nH > 1 else         jnp.zeros((B, 0, W, C), x.dtype)
-    top_rows = jnp.concatenate([zrow, inner_top], axis=1)   # (B, nH, W, C)
-    bot_rows = jnp.concatenate([inner_bot, zrow], axis=1)
-    halos = jnp.stack([top_rows, bot_rows], axis=2)  # (B, nH, 2, W, C)
+    halos = [_halos(xx, th, nH) for xx in xs]
 
-    def kernel(xc_ref, halo_ref, se_ref, be_ref, sh_ref, w_ref,
-               b_ref, res_ref, y_ref, st_ref):
+    def kernel(*refs):
+        x_refs = refs[0:n_src]
+        h_refs = refs[n_src:2 * n_src]
+        s_refs = refs[2 * n_src:3 * n_src]
+        b_refs = refs[3 * n_src:4 * n_src]
+        sh_ref, w_ref, bias_ref, res_ref, y_ref, st_ref = refs[4 * n_src:]
+
         j = pl.program_id(1)
         nj = pl.num_programs(1)
-
-        rows = jnp.concatenate([halo_ref[0, 0, 0][None], xc_ref[0],
-                                halo_ref[0, 0, 1][None]],
-                               axis=0)               # (th+2, W, C)
-
-        xf = rows.astype(jnp.float32) * se_ref[0, 0] + be_ref[0, 0]
-        if apply_norm:
-            xf = xf * jax.nn.sigmoid(xf)             # swish
-            # the zero halo rows at the image borders must STAY zero after
-            # the affine (zero-padding applies to the normalized map)
-            row_idx = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
-            top_ok = jnp.logical_or(row_idx > 0, j > 0)
-            bot_ok = jnp.logical_or(row_idx < th + 1, j < nj - 1)
-            xf = jnp.where(jnp.logical_and(top_ok, bot_ok), xf, 0.0)
-        xn = xf.astype(xc_ref.dtype)
-
-        zcol = jnp.zeros((th + 2, 1, C), xn.dtype)
-        xn = jnp.concatenate([zcol, xn, zcol], axis=1)  # (th+2, W+2, C)
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (th + 2, 1, 1), 0)
+        edge_ok = jnp.logical_and(
+            jnp.logical_or(row_idx > 0, j > 0),
+            jnp.logical_or(row_idx < th + 1, j < nj - 1))
 
         parts = []
-        for dy in range(3):
-            for dx in range(3):
-                parts.append(
-                    xn[dy:dy + th, dx:dx + W].reshape(th * W, C))
+        for k in range(n_src):
+            ck = Cs[k]
+            rows = jnp.concatenate(
+                [h_refs[k][0, 0, 0][None], x_refs[k][0],
+                 h_refs[k][0, 0, 1][None]], axis=0)   # (th+2, W, Ck)
+            xf = rows.astype(jnp.float32) * s_refs[k][0, 0] \
+                + b_refs[k][0, 0]
+            if apply_norm:
+                xf = xf * jax.nn.sigmoid(xf)          # swish
+                # zero halo rows must STAY zero after the affine
+                # (zero-padding applies to the normalized map)
+                xf = jnp.where(edge_ok, xf, 0.0)
+            xn = xf.astype(dtype)
+            zcol = jnp.zeros((th + 2, 1, ck), xn.dtype)
+            xn = jnp.concatenate([zcol, xn, zcol], axis=1)
+            for dy in range(3):
+                for dx in range(3):
+                    parts.append(
+                        xn[dy:dy + th, dx:dx + W].reshape(th * W, ck))
+
         pat = jnp.concatenate(parts, axis=-1)        # (th*W, 9C)
         acc = jax.lax.dot_general(
             pat, w_ref[...], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)      # (th*W, Co)
-        acc = acc + b_ref[...] + sh_ref[0, 0]
+        acc = acc + bias_ref[...] + sh_ref[0, 0]
         if have_res:
             acc = acc + res_ref[0].reshape(th * W, Co).astype(jnp.float32)
 
@@ -180,27 +217,28 @@ def fused_gn_swish_conv3x3(x: jax.Array,
             s2 = jnp.sum(acc * acc, axis=0)
             st_ref[0, 0] = jnp.stack([s1, s2])
 
-    in_specs = [
-        pl.BlockSpec((1, th, W, C), lambda i, j: (i, j, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, 2, W, C), lambda i, j: (i, j, 0, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, C), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, Co), lambda i, j: (i, 0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((9 * C, Co), lambda i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, Co), lambda i, j: (0, 0),
-                     memory_space=pltpu.VMEM),
-        (pl.BlockSpec((1, th, W, Co), lambda i, j: (i, j, 0, 0),
-                      memory_space=pltpu.VMEM) if have_res else
-         pl.BlockSpec((1, 1, 1, Co), lambda i, j: (i, 0, 0, 0),
-                      memory_space=pltpu.VMEM)),
-    ]
-    out_shape = [jax.ShapeDtypeStruct((B, H, W, Co), x.dtype),
+    in_specs = (
+        [pl.BlockSpec((1, th, W, c), lambda i, j: (i, j, 0, 0),
+                      memory_space=pltpu.VMEM) for c in Cs]
+        + [pl.BlockSpec((1, 1, 2, W, c), lambda i, j: (i, j, 0, 0, 0),
+                        memory_space=pltpu.VMEM) for c in Cs]
+        + [pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM) for c in Cs]
+        + [pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0),
+                        memory_space=pltpu.VMEM) for c in Cs]
+        + [
+            pl.BlockSpec((1, 1, Co), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9 * C, Co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Co), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            (pl.BlockSpec((1, th, W, Co), lambda i, j: (i, j, 0, 0),
+                          memory_space=pltpu.VMEM) if have_res else
+             pl.BlockSpec((1, 1, 1, Co), lambda i, j: (i, 0, 0, 0),
+                          memory_space=pltpu.VMEM)),
+        ])
+    out_shape = [jax.ShapeDtypeStruct((B, H, W, Co), dtype),
                  jax.ShapeDtypeStruct((B, nH, 2, Co), jnp.float32)]
     out_specs = [
         pl.BlockSpec((1, th, W, Co), lambda i, j: (i, j, 0, 0),
@@ -217,7 +255,7 @@ def fused_gn_swish_conv3x3(x: jax.Array,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-    )(x, halos, scale_eff, bias_eff, shift, wmat, bvec, res)
+    )(*xs, *halos, *scales, *biases, shift, wmat, bvec, res)
 
     if want_stats:
         return y, jnp.sum(partial, axis=1)
