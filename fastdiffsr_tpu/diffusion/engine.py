@@ -345,10 +345,12 @@ class DiffusionEngine:
             # re-derive eps from the (possibly clipped) x0 for consistency
             eps = (x - c["sqrt_a_t"] * x0) / jnp.maximum(c["sqrt_1m_a_t"],
                                                          1e-8)
-            noise = jax.random.normal(jax.random.fold_in(rng_steps, c["t"]),
-                                      x.shape, jnp.float32)
-            x_next = (c["sqrt_a_prev"] * x0 + c["dir_coef"] * eps
-                      + c["sigma"] * noise)
+            x_next = c["sqrt_a_prev"] * x0 + c["dir_coef"] * eps
+            if eta != 0.0:  # deterministic path skips noise generation
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng_steps, c["t"]), x.shape,
+                    jnp.float32)
+                x_next = x_next + c["sigma"] * noise
             return x_next, None
 
         img, _ = jax.lax.scan(step, init_noise, consts)

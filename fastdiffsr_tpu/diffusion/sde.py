@@ -254,11 +254,11 @@ class IRSDE:
         h0 = jnp.float32(-(b.T - eps) / 50.0)  # first trial step
 
         def cond(carry):
-            x, t, h, k_last, n, done = carry
-            return jnp.logical_and(~done, n < max_steps)
+            x, t, h, k_last, n_acc, n_trial, done = carry
+            return jnp.logical_and(~done, n_trial < max_steps)
 
         def body(carry):
-            x, t, h, k1, n, done = carry
+            x, t, h, k1, n_acc, n_trial, done = carry
             h = jnp.maximum(h, eps - t)  # clamp the final (negative) step
             ks = [k1]
             for i in range(1, 7):
@@ -269,6 +269,9 @@ class IRSDE:
             err = h * sum(E[j] * ks[j] for j in range(7))
             scale = atol + rtol * jnp.maximum(jnp.abs(x), jnp.abs(x5))
             err_norm = jnp.sqrt(jnp.mean((err / scale) ** 2))
+            # a NaN stage evaluation must reject-and-shrink, not poison the
+            # controller (NaN comparisons are False -> factor would go NaN)
+            err_norm = jnp.where(jnp.isnan(err_norm), jnp.inf, err_norm)
             accept = err_norm <= 1.0
             factor = jnp.clip(0.9 * (1.0 / jnp.maximum(err_norm, 1e-10))
                               ** 0.2, 0.2, 10.0)
@@ -276,10 +279,16 @@ class IRSDE:
             x_n = jnp.where(accept, x5, x)
             t_n = jnp.where(accept, t + h, t)
             k_n = jnp.where(accept, ks[6], k1)  # FSAL: k7 = next k1
-            done_n = jnp.logical_and(accept, t_n <= eps + 1e-6)
-            return (x_n, t_n, h_new, k_n, n + 1, done_n)
+            # done on reaching eps, or on solver collapse (|h| underflow
+            # after repeated NaN/reject shrinks — scipy aborts here too)
+            done_n = jnp.logical_or(
+                jnp.logical_and(accept, t_n <= eps + 1e-6),
+                jnp.abs(h_new) < 1e-6)
+            return (x_n, t_n, h_new, k_n,
+                    n_acc + accept.astype(jnp.int32), n_trial + 1, done_n)
 
         k1 = drift(xt, t0)
-        x, t, h, _, n, done = jax.lax.while_loop(
-            cond, body, (xt, t0, h0, k1, jnp.int32(0), jnp.bool_(False)))
-        return x, n
+        x, t, h, _, n_acc, _, done = jax.lax.while_loop(
+            cond, body,
+            (xt, t0, h0, k1, jnp.int32(0), jnp.int32(0), jnp.bool_(False)))
+        return x, n_acc

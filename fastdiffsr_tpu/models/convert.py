@@ -446,7 +446,7 @@ def torch_swinir_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
 
 
 
-def _ssem_map(params, base, torch_rest, key, val, conv, dense):
+def _ssem_map(params, base, torch_rest, val, conv):
     """Map one SSEM-relative torch key (MSI_SR_model/model/hsenet.py:323-364)
     onto the Flax SSEM tree (msi/hsenet.py:100-114)."""
     import re
@@ -480,10 +480,6 @@ def torch_hsenet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
     def conv(path, key, val):
         _set(params, path + ("kernel" if key == "weight" else "bias",),
              _conv_w(val) if key == "weight" else np.asarray(val, np.float32))
-
-    def dense(path, key, val):
-        _set(params, path + ("kernel" if key == "weight" else "bias",),
-             _dense_w(val) if key == "weight" else np.asarray(val, np.float32))
 
     for key, val in sd.items():
         if key.startswith(("sub_mean.", "add_mean.")):
@@ -522,7 +518,7 @@ def torch_hsenet_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
         hbase = base + ("hsem",)
         mm = re.match(r"(base_scale|down_scale)\.0\.(.+)$", hrest)
         if mm and _ssem_map(params, hbase + (mm.group(1),), mm.group(2),
-                            key, val, conv, dense):
+                            val, conv):
             continue
         mm = re.match(r"NonLocal_base\.(g|theta|phi|W)\.(weight|bias)$",
                       hrest)
@@ -696,7 +692,8 @@ def torch_hat_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
         return False
 
     for key, val in sd.items():
-        if "relative_position_index" in key or key.endswith("attn_mask")                 or key == "mean":
+        if ("relative_position_index" in key
+                or key.endswith("attn_mask") or key == "mean"):
             continue
         m = re.match(r"(conv_first|conv_after_body|conv_last)"
                      r"\.(weight|bias)$", key)
@@ -727,7 +724,8 @@ def torch_hat_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
                      r"(.+)$", key)
         if m:
             i, rest = m.groups()
-            rest = rest.replace("attn.", "") if rest.startswith("attn.")                 else rest
+            rest = (rest.replace("attn.", "")
+                    if rest.startswith("attn.") else rest)
             attn_block((f"layer_{i}", "overlap_attn"), rest, val)
             continue
         m = re.match(r"layers\.(\d+)\.residual_group\.blocks\.(\d+)\."

@@ -18,13 +18,14 @@ Statistics flow instead of being recomputed:
 
 from __future__ import annotations
 
-import math
 from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.fused_conv import fused_gn_swish_conv3x3
+from .unet_fastdiffsr import (nearest_up2 as _nearest_up2,
+                              positional_encoding as _positional_encoding)
 
 
 def _xla_stats(x: jax.Array) -> jax.Array:
@@ -35,13 +36,6 @@ def _xla_stats(x: jax.Array) -> jax.Array:
 
 def _dense(p, x):
     return x @ p["kernel"].astype(x.dtype) + p["bias"].astype(x.dtype)
-
-
-def _positional_encoding(noise_level, dim):
-    count = dim // 2
-    step = jnp.arange(count, dtype=noise_level.dtype) / count
-    enc = noise_level[:, None] * jnp.exp(-math.log(1e4) * step)[None, :]
-    return jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
 
 
 def _block(p, x, stats, groups, *, shift=None, res=None, want_stats=True):
@@ -84,12 +78,6 @@ def _clam_slam(p_ca, p_sa, x):
         s, p_sa["conv"]["kernel"].astype(x.dtype), (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     return jax.nn.sigmoid(s) * x
-
-
-def _nearest_up2(x):
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
 
 
 def fused_apply(params: dict,

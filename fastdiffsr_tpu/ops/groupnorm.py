@@ -195,6 +195,32 @@ def gn_swish_stats(x, scale, bias, groups: int, eps: float = 1e-5):
     return y.astype(x.dtype)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def gn_swish_custom(x, scale, bias, groups: int, eps: float, impl: str):
+    """Differentiable wrapper for the Pallas GN+Swish variants: forward
+    runs the requested kernel, backward is the VJP of the XLA reference
+    formulation (the kernels themselves have no reverse-mode rule, which
+    previously crashed training when FASTDIFFSR_TPU_FUSED_NORM was set)."""
+    if impl == "pallas":
+        return _gn_swish_pallas(x, scale, bias, groups, eps)
+    return gn_swish_stats(x, scale, bias, groups, eps)
+
+
+def _gn_swish_custom_fwd(x, scale, bias, groups, eps, impl):
+    return gn_swish_custom(x, scale, bias, groups, eps, impl),         (x, scale, bias)
+
+
+def _gn_swish_custom_bwd(groups, eps, impl, resids, g):
+    x, scale, bias = resids
+    _, vjp = jax.vjp(
+        lambda xx, ss, bb: _gn_swish_reference(xx, ss, bb, groups, eps),
+        x, scale, bias)
+    return vjp(g)
+
+
+gn_swish_custom.defvjp(_gn_swish_custom_fwd, _gn_swish_custom_bwd)
+
+
 def default_fused_norm() -> str:
     """Model-level fused-norm mode from the environment.
 

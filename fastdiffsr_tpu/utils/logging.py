@@ -11,8 +11,17 @@ import os
 def setup_logger(logger_name: str, root: str, phase: str,
                  level=logging.INFO, screen: bool = False) -> logging.Logger:
     logger = logging.getLogger(logger_name)
-    if logger.handlers:
+    target = os.path.abspath(os.path.join(root, f"{phase}.log"))
+    if any(isinstance(h, logging.FileHandler)
+           and getattr(h, "baseFilename", None) == target
+           for h in logger.handlers):
         return logger
+    # a second run dir in the same process (val after train, notebooks,
+    # tests) must not keep logging into the previous run's file
+    for h in list(logger.handlers):
+        logger.removeHandler(h)
+        if isinstance(h, logging.FileHandler):
+            h.close()
     formatter = logging.Formatter(
         "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s",
         datefmt="%y-%m-%d %H:%M:%S")

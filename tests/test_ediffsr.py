@@ -227,3 +227,23 @@ def test_ode_sampler_matches_scipy_rk45():
     x_scipy = sol.y[:, -1].reshape(shape)
     np.testing.assert_allclose(np.asarray(x_jax), x_scipy,
                                atol=2e-2, rtol=2e-2)
+
+
+def test_ode_sampler_survives_nan_drift():
+    """A NaN from the network must terminate the solver (reject+shrink to
+    the h floor), not poison the controller into burning max_steps."""
+    import jax
+    import jax.numpy as jnp
+    from fastdiffsr_tpu.diffusion.sde import IRSDE, IRSDEBuffers
+
+    sde = IRSDE(IRSDEBuffers.create(max_sigma=10.0, T=10))
+    mu = jnp.zeros((1, 4, 4, 3), jnp.float32)
+    xt = sde.noise_state(mu, jax.random.PRNGKey(0))
+
+    def nan_net(x, m, t):
+        return x * jnp.nan
+
+    x, n = sde.ode_sampler(nan_net, xt, mu, max_steps=500)
+    assert int(n) == 0          # nothing accepted
+    # returned state is the untouched xt (no NaN contamination)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(xt))

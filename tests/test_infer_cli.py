@@ -14,9 +14,11 @@ import pytest
 def infer_env(tmp_path):
     from PIL import Image
 
+    from tests.conftest import REPO_ROOT
+    cfg_path = (REPO_ROOT / "fastdiffsr_tpu" / "configs"
+                / "sr_fastdiffsr_infer_x4.json")
     base = json.loads("".join(
-        ln for ln in open(
-            "fastdiffsr_tpu/configs/sr_fastdiffsr_infer_x4.json")
+        ln for ln in open(cfg_path)
         if not ln.strip().startswith("//")))
 
     # UCM-style tree at 8->32 (x4): lr_{l}, hr_{r}, sr_{l}_{r}

@@ -113,3 +113,34 @@ def test_gn_swish_stats_cpu_interpret():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(gn_swish_stats(x, scale, bias, 8))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fused_norm_modes_are_differentiable():
+    """Training must work with FASTDIFFSR_TPU_FUSED_NORM set: the Pallas
+    forward gets an XLA backward via custom_vjp (previously jax.grad
+    raised 'Linearization failed')."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.pallas import tpu as pltpu
+    from fastdiffsr_tpu.ops.groupnorm import gn_swish_custom
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, 16)), jnp.float32)
+    scale = jnp.ones((16,))
+    bias = jnp.zeros((16,))
+
+    def loss(x, s, b, impl):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(gn_swish_custom(x, s, b, 4, 1e-5, impl) ** 2)
+
+    for impl in ("pallas", "stats"):
+        g = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias, impl)
+        assert all(np.isfinite(np.asarray(t)).all() for t in g), impl
+        # backward must match the reference formulation's grad
+        from fastdiffsr_tpu.ops.groupnorm import _gn_swish_reference
+        g_ref = jax.grad(lambda x, s, b: jnp.sum(
+            _gn_swish_reference(x, s, b, 4, 1e-5) ** 2),
+            argnums=(0, 1, 2))(x, scale, bias)
+        for a, b_ in zip(g, g_ref):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       atol=1e-4)
