@@ -16,22 +16,39 @@ import os
 
 def build_model(name: str, args):
     name = name.lower()
+    tiny = getattr(args, "tiny", False)
     if name == "swinir":
         from .swinir import SwinIR
+        if tiny:
+            return SwinIR(upscale=args.scale_factor, in_chans=3,
+                          embed_dim=24, depths=(2, 2), num_heads=(3, 3),
+                          window_size=4, mlp_ratio=2.0)
         return SwinIR(upscale=args.scale_factor, in_chans=3,
                       embed_dim=180, depths=(6,) * 6, num_heads=(6,) * 6,
                       window_size=8, mlp_ratio=2.0)
     if name == "ndsrgan":
         from .ndsrgan import DRRDBNet
+        if tiny:
+            return DRRDBNet(scale=args.scale_factor, nf=8, nc=4, n_blocks=2)
         return DRRDBNet(scale=args.scale_factor)
     if name == "hsenet":
         from .hsenet import HSENet
+        if tiny:
+            return HSENet(scale=args.scale_factor, n_feats=8,
+                          n_basic_modules=1)
         return HSENet(scale=args.scale_factor)
     if name == "transenet":
         from .transenet import TransENet
+        if tiny:
+            return TransENet(scale=args.scale_factor, n_feats=8,
+                             en_depth=1, de_depth=1)
         return TransENet(scale=args.scale_factor)
     if name == "hat":
         from .hat import HAT
+        if tiny:
+            return HAT(upscale=args.scale_factor, embed_dim=24,
+                       depths=(2, 2), num_heads=(2, 2), window_size=4,
+                       squeeze_factor=4, mlp_ratio=2.0)
         return HAT(upscale=args.scale_factor)
     raise ValueError(f"unknown model {name}")
 
@@ -53,6 +70,9 @@ def parse_args(argv=None):
     p.add_argument("--b2", type=float, default=0.999)
     p.add_argument("--save_dir", type=str, default="Result")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--tiny", action="store_true",
+                   help="small model variants for smoke/debug runs "
+                        "(the reference's -debug analogue)")
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--mode", type=str, default="train",
                    choices=["train", "validate", "validateByClass",
