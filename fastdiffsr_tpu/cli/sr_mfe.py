@@ -23,6 +23,17 @@ import numpy as np
 def build_all(opt, phase: str, mesh=None):
     """Construct (engine_train, engine_val, net, apply_fn, params_init)."""
     import jax
+    cache_dir = os.environ.get("FASTDIFFSR_TPU_CACHE")
+    if cache_dir:  # opt-in persistent XLA compile cache (first sampler
+        # compile is 40-200s on a tunneled chip). Opt-in because cached
+        # AOT results are machine-feature-specific: a cache written by a
+        # different host (or compile server) can SIGILL on load.
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              5.0)
+        except Exception:
+            pass
     import jax.numpy as jnp
 
     from ..diffusion import DiffusionSpec, DiffusionEngine, ScheduleBuffers
@@ -153,6 +164,10 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("-c", "--config", type=str, required=True)
+    parser.add_argument("-gpu", "--gpu_ids", type=str, default=None,
+                        help="reference-CLI compatibility (sr_mfe.py:26); "
+                             "on TPU device selection is via JAX_PLATFORMS/"
+                             "mesh — the value is accepted and logged")
     parser.add_argument("-p", "--phase", type=str,
                         choices=["train", "val"], default="train")
     parser.add_argument("-debug", action="store_true")
