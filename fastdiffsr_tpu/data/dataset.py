@@ -170,6 +170,7 @@ class DataLoader:
                  shuffle: bool = False, seed: int = 0,
                  drop_last: Optional[bool] = None,
                  prefetch: int = 4,
+                 num_workers: int = 1,
                  shard_by_process: bool = False,
                  process_index: int = 0, process_count: int = 1):
         self.dataset = dataset
@@ -178,6 +179,7 @@ class DataLoader:
         self.seed = seed
         self.drop_last = shuffle if drop_last is None else drop_last
         self.prefetch = prefetch
+        self.num_workers = max(1, int(num_workers or 1))
         self.epoch = 0
         if shard_by_process:
             import jax
@@ -217,10 +219,24 @@ class DataLoader:
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = object()
 
+        # image decode drops the GIL in libpng/libjpeg (both via PIL and
+        # the native loader), so intra-batch threads parallelize like the
+        # reference's num_workers DataLoader processes (config:23)
+        pool = None
+        if self.num_workers > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+        def fetch(chunk):
+            if pool is not None:
+                return list(pool.map(self.dataset.__getitem__,
+                                     [int(i) for i in chunk]))
+            return [self.dataset[int(i)] for i in chunk]
+
         def worker():
             try:
                 for chunk in batches:
-                    samples = [self.dataset[int(i)] for i in chunk]
+                    samples = fetch(chunk)
                     if self.dataset.split == "train":
                         samples = [_maybe_flip(s, aug_rng) for s in samples]
                     batch = {k: np.stack([s[k] for s in samples])
@@ -228,6 +244,8 @@ class DataLoader:
                     q.put(batch)
             finally:
                 q.put(stop)
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
@@ -261,7 +279,8 @@ def create_dataloader(dataset: LRHRDataset, dataset_opt: dict,
     if phase == "train":
         return DataLoader(dataset,
                           batch_size=dataset_opt["batch_size"],
-                          shuffle=bool(dataset_opt.get("use_shuffle", True)))
+                          shuffle=bool(dataset_opt.get("use_shuffle", True)),
+                          num_workers=dataset_opt.get("num_workers") or 1)
     if phase == "val":
         return DataLoader(dataset, batch_size=1, shuffle=False)
     raise NotImplementedError(f"Dataloader [{phase}] is not found.")
