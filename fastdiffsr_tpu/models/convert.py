@@ -755,6 +755,62 @@ def torch_hat_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
     return params
 
 
+def torch_ndsrgan_to_flax(state_dict: Dict[str, "np.ndarray"]) -> dict:
+    """Convert a reference NDSRGAN ``GeneratorResNet`` state_dict
+    (MSI_SR_model/model/ndsrgan.py:160-211) to Flax ``DRRDBNet`` params.
+
+    Torch module tree -> Flax names:
+      conv1.0                            -> conv1
+      DCRDB_block.DRRDB{n}.RDB{j}.CL_blocks.{i}.0 -> dcrdb_{n-1}.rdb{j}.cl_{i}
+      DCRDB_block.DRRDB{n}.RDB{j}.conv   -> dcrdb_{n-1}.rdb{j}.fuse
+      DCRDB_block.DRRDB{n}.conv          -> dcrdb_{n-1}.conv
+      conv2                              -> conv2
+      upsampling.{3m+1}                  -> up_conv_{m}
+      conv3.{0,2}                        -> head_conv{1,2}
+
+    Note the reference builds its ``upsampling`` Sequential from one shared
+    module list (ndsrgan.py:180-199: ``upsampling += upsampling_two``), so
+    for scale 4 the two stages share one Conv2d; its weights appear under
+    both Sequential indices and land in our two distinct up convs —
+    functionally identical.
+    """
+    params: dict = {}
+    for key, val in state_dict.items():
+        if key.endswith("num_batches_tracked"):
+            continue
+        parts = key.split(".")
+        kind = parts[-1]
+        if kind not in ("weight", "bias"):
+            raise KeyError(f"unmapped ndsrgan key: {key}")
+        leaf = "kernel" if kind == "weight" else "bias"
+        v = _conv_w(val) if kind == "weight" else np.asarray(
+            val, dtype=np.float32)
+        if key.startswith("conv1.0."):
+            _set(params, ("conv1", leaf), v)
+        elif key.startswith("DCRDB_block.DRRDB"):
+            n = int(parts[1][len("DRRDB"):]) - 1
+            if parts[2].startswith("RDB"):
+                rdb = "rdb" + parts[2][len("RDB"):]
+                if parts[3] == "CL_blocks":
+                    _set(params,
+                         (f"dcrdb_{n}", rdb, f"cl_{parts[4]}", leaf), v)
+                else:
+                    _set(params, (f"dcrdb_{n}", rdb, "fuse", leaf), v)
+            else:
+                _set(params, (f"dcrdb_{n}", "conv", leaf), v)
+        elif key.startswith("conv2."):
+            _set(params, ("conv2", leaf), v)
+        elif key.startswith("upsampling."):
+            _set(params, (f"up_conv_{(int(parts[1]) - 1) // 3}", leaf), v)
+        elif key.startswith("conv3.0."):
+            _set(params, ("head_conv1", leaf), v)
+        elif key.startswith("conv3.2."):
+            _set(params, ("head_conv2", leaf), v)
+        else:
+            raise KeyError(f"unmapped ndsrgan key: {key}")
+    return params
+
+
 def strip_diffusion_prefix(state_dict: Dict[str, "np.ndarray"],
                            prefix: str = "denoise_fn.") -> dict:
     """Extract the UNet sub-dict from a full GaussianDiffusion state_dict
@@ -781,7 +837,8 @@ def main(argv=None):  # pragma: no cover - thin CLI
     p.add_argument("out", help="output checkpoint dir")
     p.add_argument("--arch", default="fastdiffsr",
                    choices=["fastdiffsr", "ddpm", "tesr", "gdp", "swinir",
-                            "nafnet", "hsenet", "transenet", "hat"])
+                            "nafnet", "hsenet", "transenet", "hat",
+                            "ndsrgan"])
     args = p.parse_args(argv)
 
     sd = torch.load(args.ckpt, map_location="cpu")
@@ -803,6 +860,8 @@ def main(argv=None):  # pragma: no cover - thin CLI
         params = torch_transenet_to_flax(sd)
     elif args.arch == "hat":
         params = torch_hat_to_flax(sd)
+    elif args.arch == "ndsrgan":
+        params = torch_ndsrgan_to_flax(sd)
     else:
         params = torch_nafnet_to_flax(sd)
 

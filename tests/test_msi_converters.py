@@ -124,6 +124,33 @@ def test_transenet_matches_torch():
 
 
 @requires_reference
+def test_ndsrgan_generator_matches_torch():
+    import torch
+
+    torch.manual_seed(0)
+    ns = _exec_ref("ndsrgan.py", "class NDSRGAN(object)")
+    # upscale 4 exercises the reference's shared-module upsampling quirk
+    # (ndsrgan.py:180-199: both 2x stages are the same Conv2d object)
+    tnet = ns["GeneratorResNet"](nf=8, nc=4, upscale_factor=4).eval()
+
+    from fastdiffsr_tpu.models.convert import torch_ndsrgan_to_flax
+    from fastdiffsr_tpu.msi.ndsrgan import DRRDBNet
+
+    fnet = DRRDBNet(scale=4, nf=8, nc=4, n_blocks=23)
+    sd = {k: v.detach().numpy() for k, v in tnet.state_dict().items()}
+    params = torch_ndsrgan_to_flax(sd)
+
+    rng = np.random.default_rng(4)
+    x = rng.uniform(0, 1, (1, 8, 8, 3)).astype(np.float32)
+    with torch.no_grad():
+        out_t = tnet(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    out_t = out_t.numpy().transpose(0, 2, 3, 1)
+    out_f = np.asarray(fnet.apply({"params": params}, jnp.asarray(x)))
+    assert out_f.shape == out_t.shape
+    np.testing.assert_allclose(out_f, out_t, atol=3e-4, rtol=1e-3)
+
+
+@requires_reference
 def test_hat_matches_torch():
     import torch
 
