@@ -20,6 +20,45 @@ import time
 import numpy as np
 
 
+def ensure_debug_data(opt, logger=None):
+    """``-debug`` smoke affordance: for any configured dataroot that does
+    not exist, synthesize a tiny LRHR tree (random HR tiles through the
+    standard prepare() bicubic pipeline) under the run's experiment dir and
+    repoint the config at it. The reference's -debug mode assumes the real
+    dataset is on disk (core/logger.py:62-70); we'd rather the smoke run
+    work out of the box."""
+    from PIL import Image
+
+    from ..data.prepare import prepare
+
+    exp_root = os.path.dirname(opt["path"]["results"])
+    cache = {}
+    for ds in opt["datasets"].values():
+        root = ds.get("dataroot")
+        if not root or os.path.isdir(root):
+            continue
+        l_res, r_res = int(ds["l_resolution"]), int(ds["r_resolution"])
+        key = (root, l_res, r_res)
+        if key not in cache:
+            synth = os.path.join(exp_root, f"synth_{l_res}_{r_res}")
+            src = os.path.join(synth, "src")
+            os.makedirs(src, exist_ok=True)
+            rng = np.random.default_rng(0)
+            for i in range(6):
+                # smooth random field: low-res noise blown up bicubically so
+                # the SR task isn't pure white noise
+                small = rng.integers(0, 255, (8, 8, 3), dtype=np.uint8)
+                Image.fromarray(small).resize(
+                    (r_res, r_res), Image.BICUBIC).save(f"{src}/{i}.png")
+            prepare(src, synth, n_worker=1, sizes=(l_res, r_res),
+                    verbose=False)
+            if logger is not None:
+                logger.info(f"-debug: dataroot {root!r} absent, synthesized "
+                            f"6-image set at {synth}")
+            cache[key] = synth
+        ds["dataroot"] = cache[key]
+
+
 def build_all(opt, phase: str, mesh=None):
     """Construct (engine_train, engine_val, net, apply_fn, params_init)."""
     import jax
@@ -185,6 +224,8 @@ def main(argv=None):
 
     logger = setup_logger("base", opt["path"]["log"], "train", screen=True)
     val_logger = setup_logger("val", opt["path"]["log"], "val")
+    if args.debug:
+        ensure_debug_data(opt, logger)
     logger.info(dict2str(opt))
     tb = make_tb_writer(opt["path"]["tb_logger"])
     wandb_logger = None

@@ -96,6 +96,10 @@ def parse(config_path: str, phase: str, debug: bool = False,
             opt["train"]["val_freq"] = 2
             opt["train"]["print_freq"] = 2
             opt["train"]["save_checkpoint_freq"] = 3
+            # divergence from the reference: it leaves n_iter at the full
+            # 915,200 even in debug, so the "smoke run" never terminates.
+            # Cap it so `-debug` completes in about a minute.
+            opt["train"]["n_iter"] = min(int(opt["train"]["n_iter"]), 8)
         opt["datasets"]["train"]["batch_size"] = 2
         opt["model"]["beta_schedule"]["train"]["n_timestep"] = 10
         opt["model"]["beta_schedule"]["val"]["n_timestep"] = 10

@@ -4,10 +4,19 @@ Reference semantics (model/model.py:126-166): per save point two files
 ``I{iter}_E{epoch}_gen.pth`` (params) + ``I{iter}_E{epoch}_opt.pth``
 (optimizer + counters); config resume points at the path *prefix*.
 
-Here one Orbax/flat-numpy checkpoint directory ``I{iter}_E{epoch}`` holds
+Here one checkpoint directory ``I{iter}_E{epoch}`` holds
 {params, ema_params, opt_state, step, epoch}; ``load_state`` accepts the
 same prefix convention. A converter from reference ``_gen.pth`` files lives
 in models/convert.py.
+
+Two storage backends, selected by ``backend=`` or the env var
+``FASTDIFFSR_TPU_CKPT`` (load autodetects from what's on disk):
+
+- ``pickle`` (default): one atomic ``state.pkl`` — dependency-free, fine
+  single-host.
+- ``orbax``: Orbax ``StandardCheckpointer`` under ``<dir>/orbax`` — the
+  idiomatic JAX path (per-leaf Tensorstore storage, atomic finalization,
+  multi-host-safe saves on a real pod).
 """
 
 from __future__ import annotations
@@ -26,19 +35,34 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
-def save_state(state: TrainState, ckpt_dir: str, *, it: Optional[int] = None,
-               epoch: Optional[int] = None) -> str:
-    it = int(state.step) if it is None else it
-    epoch = int(state.epoch) if epoch is None else epoch
-    path = os.path.join(ckpt_dir, f"I{it}_E{epoch}")
-    os.makedirs(path, exist_ok=True)
-    payload = {
-        "step": int(state.step),
-        "epoch": int(epoch),
+def _payload_of(state: TrainState, epoch: int) -> dict:
+    return {
+        "step": np.asarray(int(state.step), np.int32),
+        "epoch": np.asarray(int(epoch), np.int32),
         "params": _to_numpy_tree(state.params),
         "ema_params": _to_numpy_tree(state.ema_params),
         "opt_state": _to_numpy_tree(state.opt_state),
     }
+
+
+def save_state(state: TrainState, ckpt_dir: str, *, it: Optional[int] = None,
+               epoch: Optional[int] = None,
+               backend: Optional[str] = None) -> str:
+    backend = backend or os.environ.get("FASTDIFFSR_TPU_CKPT", "pickle")
+    it = int(state.step) if it is None else it
+    epoch = int(state.epoch) if epoch is None else epoch
+    path = os.path.join(ckpt_dir, f"I{it}_E{epoch}")
+    os.makedirs(path, exist_ok=True)
+    payload = _payload_of(state, epoch)
+    if backend == "orbax":
+        import orbax.checkpoint as ocp
+
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(os.path.abspath(os.path.join(path, "orbax")),
+                       payload, force=True)
+        return path
+    if backend != "pickle":
+        raise ValueError(f"unknown checkpoint backend: {backend!r}")
     tmp = os.path.join(path, "state.pkl.tmp")
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)
@@ -48,11 +72,30 @@ def save_state(state: TrainState, ckpt_dir: str, *, it: Optional[int] = None,
 
 def load_state(prefix: str, template: TrainState) -> TrainState:
     """Load from a checkpoint dir or reference-style prefix
-    ('.../I896896_E196')."""
+    ('.../I896896_E196'). Backend is autodetected from the files present
+    (``state.pkl`` vs an ``orbax/`` subdirectory)."""
     path = prefix if os.path.isdir(prefix) else prefix
     state_file = os.path.join(path, "state.pkl")
-    with open(state_file, "rb") as f:
-        payload = pickle.load(f)
+    if os.path.exists(state_file):
+        with open(state_file, "rb") as f:
+            payload = pickle.load(f)
+    elif os.path.isdir(os.path.join(path, "orbax")):
+        import orbax.checkpoint as ocp
+
+        tmpl = {
+            "step": np.asarray(0, np.int32),
+            "epoch": np.asarray(0, np.int32),
+            "params": _to_numpy_tree(template.params),
+            "ema_params": _to_numpy_tree(template.ema_params),
+            "opt_state": _to_numpy_tree(template.opt_state),
+        }
+        with ocp.StandardCheckpointer() as ckptr:
+            payload = ckptr.restore(
+                os.path.abspath(os.path.join(path, "orbax")), tmpl)
+    else:
+        raise FileNotFoundError(
+            f"no checkpoint found under {path!r} "
+            "(neither state.pkl nor orbax/)")
 
     def restore(tmpl, loaded):
         return jax.tree_util.tree_map(
@@ -70,8 +113,16 @@ def load_state(prefix: str, template: TrainState) -> TrainState:
 
 
 def load_params_only(prefix: str) -> dict:
-    with open(os.path.join(prefix, "state.pkl"), "rb") as f:
-        payload = pickle.load(f)
+    state_file = os.path.join(prefix, "state.pkl")
+    if os.path.exists(state_file):
+        with open(state_file, "rb") as f:
+            payload = pickle.load(f)
+        return payload["params"]
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(
+            os.path.abspath(os.path.join(prefix, "orbax")))
     return payload["params"]
 
 

@@ -128,3 +128,34 @@ def test_sample_fn_sharded():
     out = sample(params, cond, jax.random.PRNGKey(0))
     assert out.shape == (8, 16, 16, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_checkpoint_roundtrip(backend, tmp_path):
+    from fastdiffsr_tpu.train.checkpoint import load_state, save_state
+
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 2e-3})
+    # the train step donates its input state, which would delete `params`'
+    # buffers — keep a host-side copy for the fresh template below
+    params_copy = jax.tree_util.tree_map(lambda x: np.array(x), params)
+    state = create_train_state(params, tx)
+    step_fn = make_train_step(engine, apply_fn, tx)
+    state, _ = step_fn(state, _batch(), jax.random.PRNGKey(1))
+
+    path = save_state(state, str(tmp_path), epoch=3, backend=backend)
+    assert path.endswith("I1_E3")
+
+    fresh = create_train_state(
+        jax.tree_util.tree_map(jnp.asarray, params_copy), tx)
+    loaded = load_state(path, fresh)  # backend autodetected from disk
+    assert int(loaded.step) == 1 and int(loaded.epoch) == 3
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(loaded.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # opt_state structure (optax NamedTuples) must survive the roundtrip
+    assert (jax.tree_util.tree_structure(state.opt_state)
+            == jax.tree_util.tree_structure(loaded.opt_state))
+    for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
+                    jax.tree_util.tree_leaves(loaded.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
