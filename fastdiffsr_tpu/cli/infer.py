@@ -51,16 +51,29 @@ def main(argv=None):
     os.makedirs(result_path, exist_ok=True)
     rng = jax.random.PRNGKey(0)
     times = []
-    for idx, batch in enumerate(val_loader):
+    n = 0
+    full_b = getattr(val_loader, "batch_size", 1)
+    first_batch = True
+    for batch in val_loader:
+        cond = np.asarray(batch["SR"])
+        b = cond.shape[0]
+        if b < full_b:  # pad the tail so the jitted program is reused
+            cond = np.concatenate(
+                [cond, np.repeat(cond[:1], full_b - b, axis=0)], axis=0)
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jax.numpy.arange(n, n + cond.shape[0]))
         t0 = time.time()
-        sr = sample_fn(params, batch["SR"], jax.random.fold_in(rng, idx))
+        sr = sample_fn(params, cond, keys)
         sr = np.asarray(jax.block_until_ready(sr))
         dt = time.time() - t0
-        if idx > 0:  # skip compile in latency stats (reference warms too)
-            times.append(dt)
-        M.save_img(M.tensor2img(sr[0]),
-                   os.path.join(result_path, f"{idx}_sr.png"))
-        logger.info(f"image {idx}: {dt:.3f}s")
+        if not first_batch:  # skip compile in latency stats
+            times.extend([dt / b] * b)
+        first_batch = False
+        for j in range(b):
+            M.save_img(M.tensor2img(sr[j]),
+                       os.path.join(result_path, f"{n}_sr.png"))
+            logger.info(f"image {n}: {dt / b:.3f}s")
+            n += 1
     if times:
         logger.info(f"mean latency: {np.mean(times):.4f}s over "
                     f"{len(times)} images")

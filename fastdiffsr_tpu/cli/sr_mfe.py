@@ -137,56 +137,72 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
             "lpips_n": 0}
     n = 0
     t_total = 0.0
-    for idx, batch in enumerate(val_loader):
-        if max_images is not None and idx >= max_images:
+    full_b = getattr(val_loader, "batch_size", 1)
+    for batch in val_loader:
+        if max_images is not None and n >= max_images:
             break
-        cond = batch["SR"]
+        cond = np.asarray(batch["SR"])
+        b = cond.shape[0]
+        if b < full_b:
+            # pad the remainder batch so the jitted sampler program is
+            # reused (no recompile for the tail); padded outputs discarded
+            cond = np.concatenate(
+                [cond, np.repeat(cond[:1], full_b - b, axis=0)], axis=0)
+        # one key per image, derived from its global index: the sampled
+        # output is identical however images are grouped into batches
+        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+            jax.numpy.arange(n, n + cond.shape[0]))
         t0 = time.time()
-        sr = sample_fn(params, cond, jax.random.fold_in(rng, idx))
+        sr = sample_fn(params, cond, keys)
         sr = np.asarray(jax.block_until_ready(sr))
         dt = time.time() - t0
         t_total += dt
 
-        sr_img = M.tensor2img(sr[0])
-        hr_img = M.tensor2img(batch["HR"][0])
-        bic_img = M.tensor2img(batch["SR"][0])
+        for j in range(b):
+            if max_images is not None and n >= max_images:
+                break
+            idx = n
+            sr_img = M.tensor2img(sr[j])
+            hr_img = M.tensor2img(batch["HR"][j])
+            bic_img = M.tensor2img(batch["SR"][j])
 
-        psnr = M.calculate_psnr(sr_img, hr_img)
-        ssim = M.calculate_ssim(sr_img, hr_img)
-        mse = M.calculate_mse(sr_img, hr_img)
-        ergas = M.calculate_ergas(sr_img, hr_img, scale=scale)
-        lp = M.calculate_lpips(sr_img, hr_img)
-        sums["psnr"] += psnr
-        sums["ssim"] += ssim
-        sums["mse"] += mse
-        sums["ergas"] += ergas
-        if lp is not None:
-            sums["lpips"] += lp
-            sums["lpips_n"] += 1
-        n += 1
+            psnr = M.calculate_psnr(sr_img, hr_img)
+            ssim = M.calculate_ssim(sr_img, hr_img)
+            mse = M.calculate_mse(sr_img, hr_img)
+            ergas = M.calculate_ergas(sr_img, hr_img, scale=scale)
+            lp = M.calculate_lpips(sr_img, hr_img)
+            sums["psnr"] += psnr
+            sums["ssim"] += ssim
+            sums["mse"] += mse
+            sums["ergas"] += ergas
+            if lp is not None:
+                sums["lpips"] += lp
+                sums["lpips_n"] += 1
+            n += 1
 
-        if save_images:
-            M.save_img(sr_img, os.path.join(result_path,
-                                            f"{idx}_sr.png"))
-            M.save_img(hr_img, os.path.join(result_path,
-                                            f"{idx}_hr.png"))
-            M.save_img(bic_img, os.path.join(result_path,
-                                             f"{idx}_inf.png"))
-        if save_plots:
-            # reference-style annotated comparison panel
-            # (core/metrics.py:51-88)
-            psnr_b = M.calculate_psnr(bic_img, hr_img)
-            ssim_b = M.calculate_ssim(bic_img, hr_img)
-            ergas_b = M.calculate_ergas(bic_img, hr_img, scale=scale)
-            M.plot_img(os.path.join(result_path, f"{idx}_panel.png"),
-                       bic_img, sr_img, hr_img, psnr, ssim, ergas, lp,
-                       psnr_b, ssim_b, ergas_b, None)
-        if wandb_logger is not None and wandb_logger.enabled:
-            wandb_logger.log_eval_data(sr_img, psnr, ssim, hr_img)
-        logger.info(
-            f"img {idx}: psnr {psnr:.4f} ssim {ssim:.4f} mse {mse:.1f} "
-            f"ergas {ergas:.4f} lpips {lp if lp is not None else 'n/a'} "
-            f"({dt:.3f}s)")
+            if save_images:
+                M.save_img(sr_img, os.path.join(result_path,
+                                                f"{idx}_sr.png"))
+                M.save_img(hr_img, os.path.join(result_path,
+                                                f"{idx}_hr.png"))
+                M.save_img(bic_img, os.path.join(result_path,
+                                                 f"{idx}_inf.png"))
+            if save_plots:
+                # reference-style annotated comparison panel
+                # (core/metrics.py:51-88)
+                psnr_b = M.calculate_psnr(bic_img, hr_img)
+                ssim_b = M.calculate_ssim(bic_img, hr_img)
+                ergas_b = M.calculate_ergas(bic_img, hr_img, scale=scale)
+                M.plot_img(os.path.join(result_path, f"{idx}_panel.png"),
+                           bic_img, sr_img, hr_img, psnr, ssim, ergas, lp,
+                           psnr_b, ssim_b, ergas_b, None)
+            if wandb_logger is not None and wandb_logger.enabled:
+                wandb_logger.log_eval_data(sr_img, psnr, ssim, hr_img)
+            logger.info(
+                f"img {idx}: psnr {psnr:.4f} ssim {ssim:.4f} mse {mse:.1f} "
+                f"ergas {ergas:.4f} "
+                f"lpips {lp if lp is not None else 'n/a'} "
+                f"({dt / b:.3f}s)")
 
     if n == 0:
         return {}

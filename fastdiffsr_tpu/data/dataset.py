@@ -282,5 +282,10 @@ def create_dataloader(dataset: LRHRDataset, dataset_opt: dict,
                           shuffle=bool(dataset_opt.get("use_shuffle", True)),
                           num_workers=dataset_opt.get("num_workers") or 1)
     if phase == "val":
-        return DataLoader(dataset, batch_size=1, shuffle=False)
+        # the reference forces batch=1 for val (data/__init__.py:15-18); a
+        # larger datasets.val.batch_size is a TPU-native opt-in that batches
+        # the jitted sampler (per-image metrics/saves are unchanged)
+        return DataLoader(dataset,
+                          batch_size=int(dataset_opt.get("batch_size") or 1),
+                          shuffle=False)
     raise NotImplementedError(f"Dataloader [{phase}] is not found.")

@@ -40,6 +40,39 @@ from .schedules import ScheduleBuffers
 DenoiseFn = Callable[[jax.Array, jax.Array], jax.Array]
 
 
+def rng_is_batched(rng) -> bool:
+    """True when ``rng`` is a batch of per-image keys (leading batch dim):
+    shape (B,) for typed key arrays, (B, 2) for raw uint32 keys.
+
+    Samplers accept either form. Per-image keys make the noise stream a
+    function of the image's own key only, so sampling results are invariant
+    to how images are grouped into batches (the batched val/infer paths key
+    each image by its global index)."""
+    try:
+        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+            return rng.ndim == 1
+    except Exception:
+        pass
+    return rng.ndim == 2
+
+
+def _normal_per_key(keys, shape) -> jax.Array:
+    """(B,) keys -> (B, *shape[1:]) normal draws, one independent stream
+    per key."""
+    return jax.vmap(
+        lambda k: jax.random.normal(k, tuple(shape[1:]), jnp.float32))(keys)
+
+
+def _split_per_key(rng):
+    """Batched analogue of jax.random.split: (B,) keys -> two (B,) keys."""
+    pair = jax.vmap(lambda k: jax.random.split(k))(rng)
+    return pair[:, 0], pair[:, 1]
+
+
+def _fold_in_per_key(keys, data):
+    return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, data)
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionSpec:
     """Static configuration selecting a diffusion variant."""
@@ -227,9 +260,15 @@ class DiffusionEngine:
             assert cond is not None
             shape = cond.shape
 
-        rng_init, rng_steps = jax.random.split(rng)
-        if init_noise is None:
-            init_noise = jax.random.normal(rng_init, shape, jnp.float32)
+        batched_rng = rng_is_batched(rng)
+        if batched_rng:
+            rng_init, rng_steps = _split_per_key(rng)
+            if init_noise is None:
+                init_noise = _normal_per_key(rng_init, shape)
+        else:
+            rng_init, rng_steps = jax.random.split(rng)
+            if init_noise is None:
+                init_noise = jax.random.normal(rng_init, shape, jnp.float32)
         img = init_noise
 
         # per-step constants, stacked in scan order t = T-1 ... 0
@@ -262,6 +301,9 @@ class DiffusionEngine:
             mean, log_var = self.q_posterior(x_recon, x, t_idx)
             if noise_seq is not None:
                 noise = c["noise"]
+            elif batched_rng:
+                noise = _normal_per_key(_fold_in_per_key(rng_steps, t_idx),
+                                        x.shape)
             else:
                 step_rng = jax.random.fold_in(rng_steps, t_idx)
                 noise = jax.random.normal(step_rng, x.shape, jnp.float32)
@@ -325,9 +367,15 @@ class DiffusionEngine:
             "sigma": jnp.asarray(sigma, jnp.float32),
         }
 
-        rng_init, rng_steps = jax.random.split(rng)
-        if init_noise is None:
-            init_noise = jax.random.normal(rng_init, shape, jnp.float32)
+        batched_rng = rng_is_batched(rng)
+        if batched_rng:
+            rng_init, rng_steps = _split_per_key(rng)
+            if init_noise is None:
+                init_noise = _normal_per_key(rng_init, shape)
+        else:
+            rng_init, rng_steps = jax.random.split(rng)
+            if init_noise is None:
+                init_noise = jax.random.normal(rng_init, shape, jnp.float32)
 
         def step(x, c):
             if spec.conditioning == "discrete_t":
@@ -347,9 +395,13 @@ class DiffusionEngine:
                                                          1e-8)
             x_next = c["sqrt_a_prev"] * x0 + c["dir_coef"] * eps
             if eta != 0.0:  # deterministic path skips noise generation
-                noise = jax.random.normal(
-                    jax.random.fold_in(rng_steps, c["t"]), x.shape,
-                    jnp.float32)
+                if batched_rng:
+                    noise = _normal_per_key(
+                        _fold_in_per_key(rng_steps, c["t"]), x.shape)
+                else:
+                    noise = jax.random.normal(
+                        jax.random.fold_in(rng_steps, c["t"]), x.shape,
+                        jnp.float32)
                 x_next = x_next + c["sigma"] * noise
             return x_next, None
 

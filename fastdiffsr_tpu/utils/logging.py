@@ -26,8 +26,15 @@ def setup_logger(logger_name: str, root: str, phase: str,
         "%(asctime)s.%(msecs)03d - %(levelname)s: %(message)s",
         datefmt="%y-%m-%d %H:%M:%S")
     os.makedirs(root, exist_ok=True)
-    fh = logging.FileHandler(os.path.join(root, f"{phase}.log"), mode="w")
+    # divergence from the reference (core/logger.py:134 uses mode='w'):
+    # resuming into an existing experiment dir must not clobber the
+    # previous run's history — append, with a separator per run
+    path = os.path.join(root, f"{phase}.log")
+    existed = os.path.exists(path) and os.path.getsize(path) > 0
+    fh = logging.FileHandler(path, mode="a")
     fh.setFormatter(formatter)
+    if existed:
+        fh.stream.write("\n# ---- new run ----\n")
     logger.setLevel(level)
     logger.addHandler(fh)
     if screen:

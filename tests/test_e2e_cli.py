@@ -104,3 +104,39 @@ def test_train_then_val(tiny_run_env, monkeypatch):
     val_log = (exps[-1] / "logs" / "val.log").read_text()
     assert "Validation" in val_log
     assert "psnr" in val_log
+
+
+def test_val_batched_sampler(tiny_run_env, monkeypatch):
+    """TPU-native opt-in: datasets.val.batch_size > 1 batches the jitted
+    sampler; an odd image count exercises the padded tail batch. Metrics
+    must match the batch-1 path image-for-image."""
+    root, cfg_path = tiny_run_env
+    monkeypatch.chdir(root)
+
+    from fastdiffsr_tpu.cli.sr_mfe import main
+
+    exps = sorted((root / "experiments").iterdir())
+    ckpts = list((exps[-1] / "checkpoint").iterdir())
+    ck = [p for p in ckpts if p.name.startswith("I6_E")][0]
+
+    cfg = json.loads(cfg_path.read_text())
+    cfg["phase"] = "val"
+    cfg["path"]["resume_state"] = str(ck)
+    cfg["datasets"]["val"]["data_len"] = 3
+
+    logs = {}
+    for bs in (1, 2):
+        cfg["datasets"]["val"]["batch_size"] = bs
+        p = root / f"cfg_val_b{bs}.json"
+        p.write_text(json.dumps(cfg))
+        _clear_loggers()
+        main(["-p", "val", "-c", str(p)])
+        text = (exps[-1] / "logs" / "val.log").read_text()
+        logs[bs] = [ln for ln in text.splitlines() if "img " in ln][-3:]
+
+    def metric_part(lines):
+        # strip the trailing per-image timing, keep psnr/ssim/mse/ergas
+        return [ln.split(" (")[0].split("img ")[1] for ln in lines]
+
+    assert len(logs[2]) == 3
+    assert metric_part(logs[1]) == metric_part(logs[2])
