@@ -134,6 +134,47 @@ def bench_train():
               f"{B / dt:8.2f} img/s  (l_pix {float(m['l_pix']):.4f})")
 
 
+def bench_latency():
+    """Batch-1 per-image sampling latency — the reference's metric
+    (sr_mfe.py:279-284 / infer.py:112-113 print per-image seconds at
+    batch 1). Complements the throughput number: batch 1 leaves most of
+    the chip idle, so latency-critical serving should still batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
+                                          ScheduleBuffers)
+    from fastdiffsr_tpu.models import FastDiffSRUNet
+    from fastdiffsr_tpu.train import make_sample_fn
+
+    engine = DiffusionEngine(
+        DiffusionSpec.for_variant("fastdiffsr"),
+        ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
+                                "linear_start": 1e-6, "linear_end": 1e-2}))
+    net = FastDiffSRUNet(dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    H = W = 256
+    params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]
+
+    def apply_fn(p, x_in, level, _r):
+        return net.apply({"params": p}, x_in, level, deterministic=True)
+
+    fn = make_sample_fn(engine, apply_fn)
+    cond = jax.random.uniform(rng, (1, H, W, 3), jnp.float32, -1, 1)
+    np.asarray(fn(params, cond, rng))  # compile+sync
+    ts = []
+    for i in range(10):
+        t0 = time.time()
+        np.asarray(fn(params, cond, jax.random.fold_in(rng, i)))
+        ts.append(time.time() - t0)
+    print(json.dumps({
+        "metric": "sr_latency_sec_per_image_64to256_T20_batch1",
+        "value": round(float(np.median(ts)), 4),
+        "unit": "sec/image (batch 1, median of 10)",
+        "vs_baseline": round(0.5 / float(np.median(ts)), 2),
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -204,6 +245,8 @@ if __name__ == "__main__":
         print("trace written to /tmp/fastdiffsr_trace", file=sys.stderr)
     elif "--train" in sys.argv:
         bench_train()
+    elif "--latency" in sys.argv:
+        bench_latency()
     elif "--full" in sys.argv:
         bench_full()
     else:

@@ -54,25 +54,24 @@ def main(argv=None):
     n = 0
     full_b = getattr(val_loader, "batch_size", 1)
     first_batch = True
+    from ..train import pad_batch_with_keys
     for batch in val_loader:
-        cond = np.asarray(batch["SR"])
-        b = cond.shape[0]
-        if b < full_b:  # pad the tail so the jitted program is reused
-            cond = np.concatenate(
-                [cond, np.repeat(cond[:1], full_b - b, axis=0)], axis=0)
-        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
-            jax.numpy.arange(n, n + cond.shape[0]))
+        b = np.asarray(batch["SR"]).shape[0]
+        cond, keys = pad_batch_with_keys(batch["SR"], full_b, rng, n)
         t0 = time.time()
         sr = sample_fn(params, cond, keys)
         sr = np.asarray(jax.block_until_ready(sr))
         dt = time.time() - t0
+        # steady-state per-image time: padded tail lanes still compute,
+        # so divide by the lane count, not the true image count
+        dt_img = dt / full_b
         if not first_batch:  # skip compile in latency stats
-            times.extend([dt / b] * b)
+            times.extend([dt_img] * b)
         first_batch = False
         for j in range(b):
             M.save_img(M.tensor2img(sr[j]),
                        os.path.join(result_path, f"{n}_sr.png"))
-            logger.info(f"image {n}: {dt / b:.3f}s")
+            logger.info(f"image {n}: {dt_img:.3f}s")
             n += 1
     if times:
         logger.info(f"mean latency: {np.mean(times):.4f}s over "

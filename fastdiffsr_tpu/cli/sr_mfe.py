@@ -38,7 +38,9 @@ def ensure_debug_data(opt, logger=None):
         if not root or os.path.isdir(root):
             continue
         l_res, r_res = int(ds["l_resolution"]), int(ds["r_resolution"])
-        key = (root, l_res, r_res)
+        # the synthesized set depends only on the resolutions, so two
+        # absent roots (train+val) at the same sizes share one tree
+        key = (l_res, r_res)
         if key not in cache:
             synth = os.path.join(exp_root, f"synth_{l_res}_{r_res}")
             src = os.path.join(synth, "src")
@@ -119,7 +121,7 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
 
     from ..data import create_dataset, create_dataloader
     from .. import metrics as M
-    from ..train import make_sample_fn
+    from ..train import make_sample_fn, pad_batch_with_keys
 
     val_set = create_dataset(opt["datasets"]["val"], "val")
     val_loader = create_dataloader(val_set, opt["datasets"]["val"], "val")
@@ -141,22 +143,15 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
     for batch in val_loader:
         if max_images is not None and n >= max_images:
             break
-        cond = np.asarray(batch["SR"])
-        b = cond.shape[0]
-        if b < full_b:
-            # pad the remainder batch so the jitted sampler program is
-            # reused (no recompile for the tail); padded outputs discarded
-            cond = np.concatenate(
-                [cond, np.repeat(cond[:1], full_b - b, axis=0)], axis=0)
-        # one key per image, derived from its global index: the sampled
-        # output is identical however images are grouped into batches
-        keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
-            jax.numpy.arange(n, n + cond.shape[0]))
+        b = np.asarray(batch["SR"]).shape[0]
+        cond, keys = pad_batch_with_keys(batch["SR"], full_b, rng, n)
         t0 = time.time()
         sr = sample_fn(params, cond, keys)
         sr = np.asarray(jax.block_until_ready(sr))
         dt = time.time() - t0
         t_total += dt
+        dt_img = dt / full_b  # steady-state per-image time (padded lanes
+        # still compute, so dividing by the true count would inflate tails)
 
         for j in range(b):
             if max_images is not None and n >= max_images:
@@ -202,7 +197,7 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
                 f"img {idx}: psnr {psnr:.4f} ssim {ssim:.4f} mse {mse:.1f} "
                 f"ergas {ergas:.4f} "
                 f"lpips {lp if lp is not None else 'n/a'} "
-                f"({dt / b:.3f}s)")
+                f"({dt_img:.3f}s)")
 
     if n == 0:
         return {}
@@ -256,7 +251,9 @@ def main(argv=None):
     from ..parallel import make_mesh, shard_batch
     from ..train import create_train_state, make_train_step
     from ..train.state import make_optimizer
-    from ..train.checkpoint import save_state, load_state
+    from ..train.checkpoint import (save_state, load_state,
+                                    resolve_backend)
+    resolve_backend()  # fail fast on a typo'd FASTDIFFSR_TPU_CKPT
 
     scale = infer_scale(opt)
     n_dev = jax.local_device_count()
@@ -347,7 +344,8 @@ def main(argv=None):
             params = load_params_only(opt["path"]["resume_state"])
         result_path = opt["path"]["results"]
         os.makedirs(result_path, exist_ok=True)
-        # val loader is batch=1 (reference semantics) — no DP mesh
+        # val batching follows datasets.val.batch_size (default 1, the
+        # reference's fixed choice) — no DP mesh
         run_validation(opt, eng_val, apply_fn, params, result_path,
                        val_logger, mesh=None, scale=scale,
                        wandb_logger=wandb_logger, save_plots=True)

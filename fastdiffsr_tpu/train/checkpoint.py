@@ -45,10 +45,21 @@ def _payload_of(state: TrainState, epoch: int) -> dict:
     }
 
 
+def resolve_backend(backend: Optional[str] = None) -> str:
+    """Resolve + validate the checkpoint backend. Called by the CLIs at
+    startup so a typo'd FASTDIFFSR_TPU_CKPT fails before hours of training,
+    not at the first save."""
+    backend = backend or os.environ.get("FASTDIFFSR_TPU_CKPT", "pickle")
+    if backend not in ("pickle", "orbax"):
+        raise ValueError(f"unknown checkpoint backend: {backend!r} "
+                         "(want 'pickle' or 'orbax')")
+    return backend
+
+
 def save_state(state: TrainState, ckpt_dir: str, *, it: Optional[int] = None,
                epoch: Optional[int] = None,
                backend: Optional[str] = None) -> str:
-    backend = backend or os.environ.get("FASTDIFFSR_TPU_CKPT", "pickle")
+    backend = resolve_backend(backend)
     it = int(state.step) if it is None else it
     epoch = int(state.epoch) if epoch is None else epoch
     path = os.path.join(ckpt_dir, f"I{it}_E{epoch}")
@@ -61,8 +72,6 @@ def save_state(state: TrainState, ckpt_dir: str, *, it: Optional[int] = None,
             ckptr.save(os.path.abspath(os.path.join(path, "orbax")),
                        payload, force=True)
         return path
-    if backend != "pickle":
-        raise ValueError(f"unknown checkpoint backend: {backend!r}")
     tmp = os.path.join(path, "state.pkl.tmp")
     with open(tmp, "wb") as f:
         pickle.dump(payload, f, protocol=4)
@@ -74,7 +83,7 @@ def load_state(prefix: str, template: TrainState) -> TrainState:
     """Load from a checkpoint dir or reference-style prefix
     ('.../I896896_E196'). Backend is autodetected from the files present
     (``state.pkl`` vs an ``orbax/`` subdirectory)."""
-    path = prefix if os.path.isdir(prefix) else prefix
+    path = prefix
     state_file = os.path.join(path, "state.pkl")
     if os.path.exists(state_file):
         with open(state_file, "rb") as f:
@@ -82,13 +91,8 @@ def load_state(prefix: str, template: TrainState) -> TrainState:
     elif os.path.isdir(os.path.join(path, "orbax")):
         import orbax.checkpoint as ocp
 
-        tmpl = {
-            "step": np.asarray(0, np.int32),
-            "epoch": np.asarray(0, np.int32),
-            "params": _to_numpy_tree(template.params),
-            "ema_params": _to_numpy_tree(template.ema_params),
-            "opt_state": _to_numpy_tree(template.opt_state),
-        }
+        # restore template = exactly the save payload's structure
+        tmpl = _payload_of(template, 0)
         with ocp.StandardCheckpointer() as ckptr:
             payload = ckptr.restore(
                 os.path.abspath(os.path.join(path, "orbax")), tmpl)
@@ -118,6 +122,10 @@ def load_params_only(prefix: str) -> dict:
         with open(state_file, "rb") as f:
             payload = pickle.load(f)
         return payload["params"]
+    if not os.path.isdir(os.path.join(prefix, "orbax")):
+        raise FileNotFoundError(
+            f"no checkpoint found under {prefix!r} "
+            "(neither state.pkl nor orbax/)")
     import orbax.checkpoint as ocp
 
     with ocp.StandardCheckpointer() as ckptr:

@@ -76,6 +76,24 @@ def make_train_step(engine: DiffusionEngine,
     )
 
 
+def pad_batch_with_keys(cond, full_b: int, rng, start_index: int):
+    """Shared val/infer batching contract: pad a tail batch to ``full_b``
+    (so the jitted sampler program is reused) and derive one RNG key per
+    image from its GLOBAL index — output is invariant to how the image set
+    is grouped into batches. Returns (cond_padded, keys); entries past the
+    original batch size are padding whose outputs the caller discards."""
+    import numpy as np
+
+    cond = np.asarray(cond)
+    if cond.shape[0] < full_b:
+        cond = np.concatenate(
+            [cond, np.repeat(cond[:1], full_b - cond.shape[0], axis=0)],
+            axis=0)
+    keys = jax.vmap(lambda i: jax.random.fold_in(rng, i))(
+        jnp.arange(start_index, start_index + cond.shape[0]))
+    return cond, keys
+
+
 def make_sample_fn(engine: DiffusionEngine,
                    apply_fn: Callable,
                    mesh=None,

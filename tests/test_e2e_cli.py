@@ -115,6 +115,11 @@ def test_val_batched_sampler(tiny_run_env, monkeypatch):
 
     from fastdiffsr_tpu.cli.sr_mfe import main
 
+    if not (root / "experiments").is_dir():
+        # running in isolation (without test_train_then_val first):
+        # produce the checkpoint this test evaluates
+        _clear_loggers()
+        main(["-p", "train", "-c", str(cfg_path)])
     exps = sorted((root / "experiments").iterdir())
     ckpts = list((exps[-1] / "checkpoint").iterdir())
     ck = [p for p in ckpts if p.name.startswith("I6_E")][0]

@@ -132,6 +132,8 @@ def test_sample_fn_sharded():
 
 @pytest.mark.parametrize("backend", ["pickle", "orbax"])
 def test_checkpoint_roundtrip(backend, tmp_path):
+    if backend == "orbax":
+        pytest.importorskip("orbax.checkpoint")
     from fastdiffsr_tpu.train.checkpoint import load_state, save_state
 
     engine, net, params, apply_fn = _tiny_setup()
