@@ -146,7 +146,9 @@ def main(argv=None):
             return sde.reverse_sde(fn, xt, mu, key,
                                    ode=(args.sampler == "ode"))
 
-        psnrs, times = [], []
+        # full metric suite per reference EDiffSR test.py:84-131
+        # (PSNR/SSIM/ERGAS/LPIPS + per-image latency)
+        psnrs, ssims, ergases, lpipss, times = [], [], [], [], []
         for i, batch in enumerate(loaders["val"]):
             t0 = time.time()
             out = np.asarray(jax.block_until_ready(
@@ -157,10 +159,21 @@ def main(argv=None):
             gt8 = (np.clip(batch["GT"][0], 0, 1) * 255).round().astype(
                 np.uint8)
             psnrs.append(M.calculate_psnr(sr8, gt8))
+            ssims.append(M.calculate_ssim(sr8, gt8))
+            ergases.append(M.calculate_ergas(sr8, gt8, scale=scale))
+            lp = M.calculate_lpips(sr8, gt8)
+            if lp is not None:
+                lpipss.append(lp)
             logger.info(f"img {i}: psnr {psnrs[-1]:.3f} "
+                        f"ssim {ssims[-1]:.4f} ergas {ergases[-1]:.4f} "
+                        f"lpips {lp if lp is not None else 'n/a'} "
                         f"({times[-1]:.3f}s)")
         if psnrs:
+            lp_part = (f", mean lpips {np.mean(lpipss):.4f}"
+                       if lpipss else "")
             logger.info(f"# mean psnr {np.mean(psnrs):.4f}, "
+                        f"mean ssim {np.mean(ssims):.4f}, "
+                        f"mean ergas {np.mean(ergases):.4f}{lp_part}, "
                         f"mean latency {np.mean(times[1:] or times):.3f}s")
         return
 
