@@ -233,3 +233,44 @@ def test_ddim_deterministic_and_variants():
         np.testing.assert_allclose(np.asarray(o1), np.asarray(o2),
                                    atol=0, err_msg=variant)
         assert np.isfinite(np.asarray(o1)).all()
+
+
+def test_batched_rng_detection():
+    from fastdiffsr_tpu.diffusion.engine import rng_is_batched
+
+    raw = jax.random.PRNGKey(0)                      # (2,) uint32
+    raw_batch = jax.vmap(lambda i: jax.random.fold_in(raw, i))(
+        jnp.arange(3))                               # (3, 2)
+    assert not rng_is_batched(raw)
+    assert rng_is_batched(raw_batch)
+
+    typed = jax.random.key(0)                        # () typed key
+    typed_batch = jax.random.split(typed, 3)         # (3,) typed keys
+    assert not rng_is_batched(typed)
+    assert rng_is_batched(typed_batch)
+
+
+@pytest.mark.parametrize("method", ["sample", "ddim"])
+def test_sampling_batch_invariance(engine, method):
+    """Per-image keys: each image's output depends only on its own key,
+    not on how the set is grouped into batches (the batched-val
+    contract)."""
+    rng = np.random.default_rng(5)
+    cond = jnp.asarray(rng.uniform(-1, 1, (3, 8, 8, 3)), jnp.float32)
+    base = jax.random.PRNGKey(7)
+    keys = jax.vmap(lambda i: jax.random.fold_in(base, i))(jnp.arange(3))
+
+    def denoise(x_in, level):
+        return 0.1 * x_in[..., 3:]  # deterministic mock
+
+    def run(c, k):
+        if method == "ddim":
+            return np.asarray(engine.sample_ddim(denoise, c, k,
+                                                 steps=5, eta=0.5))
+        return np.asarray(engine.sample(denoise, c, k))
+
+    together = run(cond, keys)
+    for j in range(3):
+        alone = run(cond[j:j + 1], keys[j:j + 1])
+        np.testing.assert_allclose(alone[0], together[j],
+                                   rtol=1e-5, atol=1e-5)
