@@ -292,6 +292,7 @@ def main(argv=None):
         current_step = int(state.step)
         current_epoch = int(state.epoch)
 
+        loss_window = []  # device scalars; kept async, fetched at print
         while current_step < n_iter:
             current_epoch += 1
             for batch in train_loader:
@@ -302,14 +303,23 @@ def main(argv=None):
                 state, metrics = step_fn(
                     state, batch, jax.random.fold_in(rng, current_step))
                 current_step += 1
+                loss_window.append(metrics["l_pix"])
 
                 if current_step % int(train_opt["print_freq"]) == 0:
+                    # windowed mean alongside the instantaneous value: at
+                    # t=1 the irreducible loss is E|eps| ~ 0.798 (gamma=1
+                    # leaves nothing to denoise), so ~5% of single-step
+                    # prints sit at 0.798 on a perfectly healthy model —
+                    # the mean is the signal to watch
                     l_pix = float(metrics["l_pix"])
+                    l_avg = float(np.mean([float(x) for x in loss_window]))
+                    loss_window.clear()
                     logger.info(f"<epoch:{current_epoch:3d}, "
                                 f"iter:{current_step:8,d}> l_pix: "
-                                f"{l_pix:.4e}")
+                                f"{l_pix:.4e} (avg {l_avg:.4e})")
                     if tb:
                         tb.add_scalar("l_pix", l_pix, current_step)
+                        tb.add_scalar("l_pix_avg", l_avg, current_step)
 
                 if current_step % int(train_opt["val_freq"]) == 0:
                     result_path = os.path.join(opt["path"]["results"],
