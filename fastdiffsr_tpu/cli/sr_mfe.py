@@ -292,16 +292,44 @@ def main(argv=None):
         current_step = int(state.step)
         current_epoch = int(state.epoch)
 
+        # opt-in device-resident dataset (datasets.train.device_cache):
+        # the uint8 tiles live in HBM; index/normalize/hflip happen inside
+        # the jitted step — zero steady-state host->device traffic (also
+        # sidesteps the axon-tunnel per-transfer host leak, BASELINE.md)
+        use_cache = bool(opt["datasets"]["train"].get("device_cache"))
+        if use_cache and mesh is not None:
+            logger.info("device_cache is single-chip only for now; "
+                        "falling back to the host loader on the DP mesh")
+            use_cache = False
+        if use_cache:
+            from ..train import make_cached_train_step
+            raw = train_set.raw_uint8()
+            device_data = {k: jax.device_put(v) for k, v in raw.items()}
+            cached_step = make_cached_train_step(
+                eng_train, apply_fn, tx, bsz,
+                ema_decay=float(ema_cfg.get("ema_decay", 0.9999)),
+                ema_start=int(ema_cfg.get("step_start_ema", 5000)))
+            logger.info(
+                f"device-resident dataset: {raw['HR'].shape[0]} tiles, "
+                f"{sum(v.nbytes for v in raw.values()) / 1e6:.0f} MB in HBM")
+        steps_per_epoch = max(len(train_set) // max(bsz, 1), 1)
+
         loss_window = []  # device scalars; kept async, fetched at print
         while current_step < n_iter:
             current_epoch += 1
-            for batch in train_loader:
+            for batch in ([None] * steps_per_epoch if use_cache
+                          else train_loader):
                 if current_step >= n_iter:
                     break
-                if mesh is not None:
-                    batch = shard_batch(batch, mesh)
-                state, metrics = step_fn(
-                    state, batch, jax.random.fold_in(rng, current_step))
+                if use_cache:
+                    state, metrics = cached_step(
+                        state, device_data,
+                        jax.random.fold_in(rng, current_step))
+                else:
+                    if mesh is not None:
+                        batch = shard_batch(batch, mesh)
+                    state, metrics = step_fn(
+                        state, batch, jax.random.fold_in(rng, current_step))
                 current_step += 1
                 loss_window.append(metrics["l_pix"])
 

@@ -125,6 +125,19 @@ class LRHRDataset:
     def __len__(self) -> int:
         return self.data_len
 
+    def raw_uint8(self) -> dict:
+        """Stack the whole (truncated-to-data_len) dataset as uint8 arrays
+        {'HR': (N,r,r,3), 'SR': (N,r,r,3)} — the host-side half of the
+        device-resident dataset mode (train/steps.make_cached_train_step)."""
+        if self._pack is not None:
+            return {"SR": np.asarray(self._pack["SR"][:self.data_len]),
+                    "HR": np.asarray(self._pack["HR"][:self.data_len])}
+        sr = np.stack([_load_image(p)
+                       for p in self.sr_path[:self.data_len]])
+        hr = np.stack([_load_image(p)
+                       for p in self.hr_path[:self.data_len]])
+        return {"SR": sr, "HR": hr}
+
     def __getitem__(self, index: int) -> dict:
         if self._pack is not None:
             img_sr = np.asarray(self._pack["SR"][index])

@@ -24,18 +24,12 @@ from ..parallel.mesh import batch_sharding, replicated_sharding
 from .state import TrainState
 
 
-def make_train_step(engine: DiffusionEngine,
-                    apply_fn: Callable,
-                    tx: optax.GradientTransformation,
-                    ema_decay: float = 0.9999,
-                    ema_start: int = 5000,
-                    mesh=None):
-    """Returns train_step(state, batch, rng) -> (state, metrics).
-
-    apply_fn(params, x_in, noise_level, rng) -> model output; dropout rng is
-    threaded through. Loss normalization matches the reference
-    (sum/(b*c*h*w) == mean; model/model.py:47-57).
-    """
+def _train_step_body(engine: DiffusionEngine,
+                     apply_fn: Callable,
+                     tx: optax.GradientTransformation,
+                     ema_decay: float,
+                     ema_start: int):
+    """Shared (state, batch, rng) -> (state, metrics) update body."""
 
     def loss_fn(params, batch, rng):
         rng_diff, rng_drop = jax.random.split(rng)
@@ -63,6 +57,23 @@ def make_train_step(engine: DiffusionEngine,
                    "grad_norm": optax.global_norm(grads)}
         return new_state, metrics
 
+    return train_step
+
+
+def make_train_step(engine: DiffusionEngine,
+                    apply_fn: Callable,
+                    tx: optax.GradientTransformation,
+                    ema_decay: float = 0.9999,
+                    ema_start: int = 5000,
+                    mesh=None):
+    """Returns train_step(state, batch, rng) -> (state, metrics).
+
+    apply_fn(params, x_in, noise_level, rng) -> model output; dropout rng is
+    threaded through. Loss normalization matches the reference
+    (sum/(b*c*h*w) == mean; model/model.py:47-57).
+    """
+    train_step = _train_step_body(engine, apply_fn, tx, ema_decay, ema_start)
+
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))
 
@@ -74,6 +85,51 @@ def make_train_step(engine: DiffusionEngine,
         out_shardings=(repl, repl),
         donate_argnums=(0,),
     )
+
+
+def make_cached_train_step(engine: DiffusionEngine,
+                           apply_fn: Callable,
+                           tx: optax.GradientTransformation,
+                           batch_size: int,
+                           ema_decay: float = 0.9999,
+                           ema_start: int = 5000,
+                           hflip: bool = True):
+    """Device-resident-dataset train step: the whole (uint8) dataset lives
+    in HBM and batch assembly — random index draw, [-1,1] normalization,
+    paired random hflip — happens INSIDE the jitted program.
+
+    Returns train_step(state, data, rng) -> (state, metrics), where
+    ``data`` is a dict of committed device arrays
+    {'HR': (N,r,r,3) u8, 'SR': (N,r,r,3) u8} passed unchanged every call.
+
+    Why this exists (beyond being the natural TPU-native shape): the
+    steady-state loop performs ZERO host->device traffic, which (a) removes
+    the host data path entirely and (b) sidesteps a measured axon-tunnel
+    client leak of ~the batch size per H2D transfer (see BASELINE.md).
+    Batches are drawn with replacement (the loader's epoch-permutation
+    semantics are not reproduced); normalization and paired-hflip match
+    the loader exactly (data/dataset.py to_minus1_1/_maybe_flip).
+    """
+    body = _train_step_body(engine, apply_fn, tx, ema_decay, ema_start)
+
+    def assemble(data, rng):
+        n = data["HR"].shape[0]
+        rng_idx, rng_flip, rng_body = jax.random.split(rng, 3)
+        idx = jax.random.randint(rng_idx, (batch_size,), 0, n)
+        batch = {k: v[idx].astype(jnp.float32) / 127.5 - 1.0
+                 for k, v in data.items()}
+        if hflip:
+            flip = jax.random.bernoulli(rng_flip, 0.5, (batch_size,))
+            sel = flip[:, None, None, None]
+            batch = {k: jnp.where(sel, v[:, :, ::-1, :], v)
+                     for k, v in batch.items()}
+        return batch, rng_body
+
+    def train_step(state: TrainState, data: dict, rng: jax.Array):
+        batch, rng_body = assemble(data, rng)
+        return body(state, batch, rng_body)
+
+    return jax.jit(train_step, donate_argnums=(0,))
 
 
 def pad_batch_with_keys(cond, full_b: int, rng, start_index: int):

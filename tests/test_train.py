@@ -161,3 +161,48 @@ def test_checkpoint_roundtrip(backend, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
                     jax.tree_util.tree_leaves(loaded.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_cached_train_step(tmp_path):
+    """Device-resident dataset mode: uint8 tiles in (virtual) HBM, batch
+    assembly inside the jitted step. Loss must decrease and the on-device
+    normalization must match the host loader's [-1,1] mapping exactly."""
+    from PIL import Image
+
+    from fastdiffsr_tpu.data.dataset import LRHRDataset
+    from fastdiffsr_tpu.train import make_cached_train_step
+
+    # tiny folder dataset
+    root = tmp_path / "Train_8_16"
+    for sub in ("lr_8", "hr_16", "sr_8_16"):
+        (root / sub).mkdir(parents=True)
+    g = np.random.default_rng(0)
+    for i in range(5):
+        for sub, size in (("lr_8", 8), ("hr_16", 16), ("sr_8_16", 16)):
+            Image.fromarray(g.integers(0, 255, (size, size, 3),
+                                       dtype=np.uint8)).save(
+                root / sub / f"{i}.png")
+
+    ds = LRHRDataset(str(root), l_resolution=8, r_resolution=16,
+                     split="train")
+    raw = ds.raw_uint8()
+    assert raw["HR"].shape == (5, 16, 16, 3)
+    assert raw["HR"].dtype == np.uint8
+    # normalization parity vs the host loader
+    np.testing.assert_allclose(
+        raw["HR"][0].astype(np.float32) / 127.5 - 1.0, ds[0]["HR"],
+        atol=1e-6)
+
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 2e-3})
+    state = create_train_state(params, tx)
+    step_fn = make_cached_train_step(engine, apply_fn, tx, batch_size=4,
+                                     ema_start=0)
+    data = {k: jnp.asarray(v) for k, v in raw.items()}
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        state, m = step_fn(state, data, jax.random.fold_in(rng, i))
+        losses.append(float(m["l_pix"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
