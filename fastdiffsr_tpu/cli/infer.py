@@ -22,6 +22,9 @@ def main(argv=None):
     parser.add_argument("-debug", action="store_true")
     parser.add_argument("-enable_wandb", action="store_true")
     parser.add_argument("-log_infer", action="store_true")
+    parser.add_argument("-use_ema", action="store_true",
+                        help="restore EMA shadow params instead of raw "
+                             "params (default off for reference parity)")
     args = parser.parse_args(argv)
 
     from ..config import parse, infer_scale
@@ -40,12 +43,22 @@ def main(argv=None):
 
     _, eng_val, net, apply_fn, params = build_all(opt, "val")
     if opt["path"]["resume_state"]:
-        params = load_params_only(opt["path"]["resume_state"])
-        logger.info(f"loaded params from {opt['path']['resume_state']}")
+        params = load_params_only(opt["path"]["resume_state"],
+                                  use_ema=args.use_ema)
+        logger.info(f"loaded {'EMA ' if args.use_ema else ''}params from "
+                    f"{opt['path']['resume_state']}")
 
     val_set = create_dataset(opt["datasets"]["val"], "val")
     val_loader = create_dataloader(val_set, opt["datasets"]["val"], "val")
-    sample_fn = make_sample_fn(eng_val, apply_fn)
+    # DP-shard the sampler over all devices dividing the batch (the
+    # north-star multi-chip path); per-image keys keep outputs identical
+    # to the single-device sampler
+    from ..parallel import auto_mesh
+    mesh = auto_mesh(getattr(val_loader, "batch_size", 1))
+    if mesh is not None:
+        logger.info(f"infer sampler: DP mesh over {mesh.devices.size} "
+                    f"devices")
+    sample_fn = make_sample_fn(eng_val, apply_fn, mesh=mesh)
 
     result_path = opt["path"]["results"]
     os.makedirs(result_path, exist_ok=True)
@@ -65,13 +78,16 @@ def main(argv=None):
         # steady-state per-image time: padded tail lanes still compute,
         # so divide by the lane count, not the true image count
         dt_img = dt / full_b
+        # first batch includes JIT compile — excluded from stats, labeled
+        # in the per-image log so it isn't read as steady-state
+        dt_note = " incl. compile" if first_batch else ""
         if not first_batch:  # skip compile in latency stats
             times.extend([dt_img] * b)
         first_batch = False
         for j in range(b):
             M.save_img(M.tensor2img(sr[j]),
                        os.path.join(result_path, f"{n}_sr.png"))
-            logger.info(f"image {n}: {dt_img:.3f}s")
+            logger.info(f"image {n}: {dt_img:.3f}s{dt_note}")
             n += 1
     if times:
         logger.info(f"mean latency: {np.mean(times):.4f}s over "

@@ -115,16 +115,26 @@ def build_all(opt, phase: str, mesh=None):
 
 
 def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
-                   mesh=None, scale=4, max_images=None, save_images=True,
+                   mesh="auto", scale=4, max_images=None, save_images=True,
                    wandb_logger=None, save_plots=False):
     import jax
 
     from ..data import create_dataset, create_dataloader
+    from ..parallel import auto_mesh
     from .. import metrics as M
     from ..train import make_sample_fn, pad_batch_with_keys
 
     val_set = create_dataset(opt["datasets"]["val"], "val")
     val_loader = create_dataloader(val_set, opt["datasets"]["val"], "val")
+    full_b = getattr(val_loader, "batch_size", 1)
+    if mesh == "auto":
+        # DP-shard the sampler over all devices that evenly divide the val
+        # batch — the north-star multi-chip sampling path. Per-image RNG
+        # keys make the output identical to the single-device sampler.
+        mesh = auto_mesh(full_b)
+        if mesh is not None:
+            logger.info(f"val sampler: DP mesh over "
+                        f"{mesh.devices.size} devices (batch {full_b})")
     # optional DDIM override via model.diffusion {sampler, ddim_steps,
     # ddim_eta} — capability beyond the reference schema, default ancestral
     diff_opt = (opt.get("model") or {}).get("diffusion") or {}
@@ -139,7 +149,7 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
             "lpips_n": 0}
     n = 0
     t_total = 0.0
-    full_b = getattr(val_loader, "batch_size", 1)
+    first_batch = True
     for batch in val_loader:
         if max_images is not None and n >= max_images:
             break
@@ -152,6 +162,10 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
         t_total += dt
         dt_img = dt / full_b  # steady-state per-image time (padded lanes
         # still compute, so dividing by the true count would inflate tails)
+        # first batch includes JIT compile — label it so the per-image
+        # figure isn't mistaken for steady-state (ADVICE.md r1)
+        dt_note = " incl. compile" if first_batch else ""
+        first_batch = False
 
         for j in range(b):
             if max_images is not None and n >= max_images:
@@ -197,7 +211,7 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
                 f"img {idx}: psnr {psnr:.4f} ssim {ssim:.4f} mse {mse:.1f} "
                 f"ergas {ergas:.4f} "
                 f"lpips {lp if lp is not None else 'n/a'} "
-                f"({dt_img:.3f}s)")
+                f"({dt_img:.3f}s{dt_note})")
 
     if n == 0:
         return {}
@@ -224,6 +238,10 @@ def main(argv=None):
     parser.add_argument("-enable_wandb", action="store_true")
     parser.add_argument("-log_wandb_ckpt", action="store_true")
     parser.add_argument("-log_eval", action="store_true")
+    parser.add_argument("-use_ema", action="store_true",
+                        help="evaluate the EMA shadow params instead of the "
+                             "raw params (val phase; default off for "
+                             "reference parity)")
     args = parser.parse_args(argv)
 
     from ..config import parse, dict2str, infer_scale
@@ -301,6 +319,7 @@ def main(argv=None):
             logger.info("device_cache is single-chip only for now; "
                         "falling back to the host loader on the DP mesh")
             use_cache = False
+        steps_per_epoch = max(len(train_set) // max(bsz, 1), 1)
         if use_cache:
             from ..train import make_cached_train_step
             raw = train_set.raw_uint8()
@@ -311,8 +330,10 @@ def main(argv=None):
                 ema_start=int(ema_cfg.get("step_start_ema", 5000)))
             logger.info(
                 f"device-resident dataset: {raw['HR'].shape[0]} tiles, "
-                f"{sum(v.nbytes for v in raw.values()) / 1e6:.0f} MB in HBM")
-        steps_per_epoch = max(len(train_set) // max(bsz, 1), 1)
+                f"{sum(v.nbytes for v in raw.values()) / 1e6:.0f} MB in HBM "
+                "(batches drawn WITH replacement; '<epoch:N>' counts "
+                f"{steps_per_epoch}-step windows, not passes over the "
+                "data; use_shuffle is ignored)")
 
         loss_window = []  # device scalars; kept async, fetched at print
         while current_step < n_iter:
@@ -354,8 +375,9 @@ def main(argv=None):
                                                str(current_epoch))
                     os.makedirs(result_path, exist_ok=True)
                     res = run_validation(
-                        opt, eng_val, apply_fn, state.params, result_path,
-                        val_logger, mesh=None, scale=scale,
+                        opt, eng_val, apply_fn,
+                        state.ema_or_params(args.use_ema), result_path,
+                        val_logger, scale=scale,
                         wandb_logger=wandb_logger)
                     if tb and res:
                         for k, v in res.items():
@@ -371,6 +393,10 @@ def main(argv=None):
                     path = save_state(state, opt["path"]["checkpoint"],
                                       it=current_step, epoch=current_epoch)
                     logger.info(f"saved checkpoint {path}")
+                    if wandb_logger is not None and args.log_wandb_ckpt:
+                        wandb_logger.log_checkpoint(current_epoch,
+                                                    current_step,
+                                                    ckpt_path=path)
 
         state = state.replace(epoch=jnp.asarray(current_epoch, jnp.int32))
         save_state(state, opt["path"]["checkpoint"], it=current_step,
@@ -379,13 +405,17 @@ def main(argv=None):
     else:  # val
         if opt["path"]["resume_state"]:
             from ..train.checkpoint import load_params_only
-            params = load_params_only(opt["path"]["resume_state"])
+            params = load_params_only(opt["path"]["resume_state"],
+                                      use_ema=args.use_ema)
+            if args.use_ema:
+                logger.info("evaluating EMA params")
         result_path = opt["path"]["results"]
         os.makedirs(result_path, exist_ok=True)
         # val batching follows datasets.val.batch_size (default 1, the
-        # reference's fixed choice) — no DP mesh
+        # reference's fixed choice); with batch_size > 1 the sampler is
+        # DP-sharded over all devices dividing the batch (auto mesh)
         run_validation(opt, eng_val, apply_fn, params, result_path,
-                       val_logger, mesh=None, scale=scale,
+                       val_logger, scale=scale,
                        wandb_logger=wandb_logger, save_plots=True)
         if wandb_logger is not None:
             wandb_logger.log_eval_table(commit=True)

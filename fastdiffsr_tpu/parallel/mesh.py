@@ -32,6 +32,19 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def auto_mesh(batch_size: int, devices=None) -> Optional[Mesh]:
+    """Largest DP mesh that evenly divides ``batch_size``: the default
+    mesh-selection rule shared by the train/val/infer CLIs (the reference's
+    analogue is the gpu_ids list, model/networks.py:116-118). Returns None
+    when only one device would participate."""
+    import math
+
+    if devices is None:
+        devices = jax.devices()
+    n = math.gcd(int(batch_size), len(devices))
+    return make_mesh(n, devices=devices) if n > 1 else None
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Leading (batch) dim split across the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))

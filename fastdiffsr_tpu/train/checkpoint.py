@@ -116,12 +116,21 @@ def load_state(prefix: str, template: TrainState) -> TrainState:
     )
 
 
-def load_params_only(prefix: str) -> dict:
+def load_params_only(prefix: str, use_ema: bool = False) -> dict:
+    """Restore only the (EMA) params tree for eval/infer.
+
+    ``use_ema=True`` selects the EMA shadow params (``--use_ema`` eval
+    path; default off for reference parity — the reference always
+    evaluates raw params, model/model.py:59-68). The orbax branch
+    restores from saved metadata without a target tree; the roundtrip is
+    covered by tests/test_train.py::test_load_params_only_orbax.
+    """
+    key = "ema_params" if use_ema else "params"
     state_file = os.path.join(prefix, "state.pkl")
     if os.path.exists(state_file):
         with open(state_file, "rb") as f:
             payload = pickle.load(f)
-        return payload["params"]
+        return payload[key]
     if not os.path.isdir(os.path.join(prefix, "orbax")):
         raise FileNotFoundError(
             f"no checkpoint found under {prefix!r} "
@@ -131,7 +140,7 @@ def load_params_only(prefix: str) -> dict:
     with ocp.StandardCheckpointer() as ckptr:
         payload = ckptr.restore(
             os.path.abspath(os.path.join(prefix, "orbax")))
-    return payload["params"]
+    return payload[key]
 
 
 def load_reference_gen_pth(path: str) -> dict:

@@ -163,6 +163,14 @@ def make_sample_fn(engine: DiffusionEngine,
     the bicubic-upsampled LR batch in [-1, 1]. ``sampler='ddim'`` switches
     to DDIM with ``ddim_steps`` UNet evals (<= T; deterministic when
     ``ddim_eta=0``) — a speed knob the reference does not have.
+
+    With a ``mesh`` the batch (and the per-image key array — mesh mode
+    requires the batched-keys contract of :func:`pad_batch_with_keys`)
+    is sharded over the ``data`` axis, params are replicated, and the
+    reverse scan runs DP across chips — the north-star benchmark path
+    (SR images/sec scaling linearly with mesh size, BASELINE.md). The
+    per-image RNG keys make the output identical to the single-device
+    sampler image-for-image (tests/test_mesh_sampler.py).
     """
     if sampler not in ("ancestral", "ddim"):
         raise ValueError(f"sampler={sampler!r} (want 'ancestral' or 'ddim')")
@@ -192,5 +200,7 @@ def make_sample_fn(engine: DiffusionEngine,
         out = (data, traj_sh)
     else:
         out = data
-    return jax.jit(sample, in_shardings=(repl, data, repl),
+    # rng is the (B,)/(B,2) per-image key array — sharded with its images
+    # so each chip draws only its own images' noise streams
+    return jax.jit(sample, in_shardings=(repl, data, data),
                    out_shardings=out)

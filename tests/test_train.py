@@ -119,13 +119,16 @@ def test_dp_sharded_matches_single_device():
 
 
 def test_sample_fn_sharded():
-    from fastdiffsr_tpu.train import make_sample_fn
+    # mesh mode requires the per-image-keys contract (pad_batch_with_keys):
+    # keys are sharded over the data axis alongside their images
+    from fastdiffsr_tpu.train import make_sample_fn, pad_batch_with_keys
     engine, net, params, apply_fn = _tiny_setup()
     mesh = make_mesh(8)
     sample = make_sample_fn(engine, apply_fn, mesh=mesh)
     cond = jnp.zeros((8, 16, 16, 3))
-    cond = shard_batch({"c": cond}, mesh)["c"]
-    out = sample(params, cond, jax.random.PRNGKey(0))
+    cond, keys = pad_batch_with_keys(cond, 8, jax.random.PRNGKey(0), 0)
+    cond = shard_batch({"c": jnp.asarray(cond)}, mesh)["c"]
+    out = sample(params, cond, keys)
     assert out.shape == (8, 16, 16, 3)
     assert np.all(np.isfinite(np.asarray(out)))
 
@@ -161,6 +164,38 @@ def test_checkpoint_roundtrip(backend, tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(state.opt_state),
                     jax.tree_util.tree_leaves(loaded.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("backend", ["pickle", "orbax"])
+def test_load_params_only_orbax(backend, tmp_path):
+    """load_params_only (used by the val/infer CLIs with no full template)
+    must roundtrip both the raw and the EMA params tree; the orbax branch
+    restores from saved metadata without a target tree."""
+    if backend == "orbax":
+        pytest.importorskip("orbax.checkpoint")
+    from fastdiffsr_tpu.train.checkpoint import load_params_only, save_state
+
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 2e-3})
+    state = create_train_state(params, tx)
+    # ema_start=0 so ema_params and params diverge after one step
+    step_fn = make_train_step(engine, apply_fn, tx, ema_decay=0.9,
+                              ema_start=0)
+    state, _ = step_fn(state, _batch(), jax.random.PRNGKey(1))
+
+    path = save_state(state, str(tmp_path), epoch=1, backend=backend)
+    raw = load_params_only(path)
+    ema = load_params_only(path, use_ema=True)
+    for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(raw)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree_util.tree_leaves(state.ema_params),
+                    jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the two trees genuinely differ (the flag selects something real)
+    assert any(float(jnp.max(jnp.abs(jnp.asarray(a) - jnp.asarray(b)))) > 0
+               for a, b in zip(jax.tree_util.tree_leaves(raw),
+                               jax.tree_util.tree_leaves(ema)))
 
 
 def test_cached_train_step(tmp_path):
