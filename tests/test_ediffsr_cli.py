@@ -50,7 +50,7 @@ def ediffsr_env(tmp_path_factory):
                   "lr_scheme": "TrueCosineAnnealingLR", "beta1": 0.9,
                   "beta2": 0.99, "niter": 4, "eta_min": 1e-7,
                   "loss_type": "l1", "weight": 1.0, "manual_seed": 0,
-                  "val_freq": 1000},
+                  "val_freq": 2, "warmup_iter": 2},
         "logger": {"print_freq": 2, "save_checkpoint_freq": 4},
     }
     cfg = root / "opt.yml"
@@ -70,13 +70,19 @@ def test_ediffsr_train_smoke(ediffsr_env, monkeypatch):
     _clear_logger("ediffsr")
 
     from fastdiffsr_tpu.ediffsr.train import main
-    main(["-opt", str(cfg), "--max_iters", "4"])
+    main(["-opt", str(cfg), "--max_iters", "4", "--val_images", "1"])
 
-    models = list((root / "experiments" / "ediffsr_unit" /
-                   "models").iterdir())
+    exp = root / "experiments" / "ediffsr_unit"
+    models = list((exp / "models").iterdir())
     assert any(p.name.startswith("I4_") for p in models), models
-    log = (root / "experiments" / "ediffsr_unit" / "train.log").read_text()
+    log = (exp / "train.log").read_text()
     assert "loss" in log
+    # in-train validation + best-PSNR tracking (reference train.py:270-316)
+    assert "# Validation # PSNR:" in log and "Best PSNR:" in log
+    assert (exp / "models" / "best.txt").exists()
+    assert (exp / "val.log").read_text().count("psnr") >= 2
+    # val images are saved per validation pass
+    assert (exp / "val_images" / "2" / "000.png").exists()
 
 
 def test_ediffsr_test_smoke(ediffsr_env, monkeypatch):
