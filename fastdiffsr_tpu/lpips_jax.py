@@ -107,27 +107,53 @@ class LPIPSJax:
                                 prep(img1_u8), prep(img2_u8))[0])
 
 
-def export_pack(out_path: str):  # pragma: no cover - needs torchvision
-    """Convert torchvision alexnet + lpips linear heads to the npz pack."""
-    import torch
-    from torchvision.models import alexnet
+REFERENCE_ALEX_HEADS = ("/root/reference/FastDiffSR/MSI_SR_model/utils/"
+                        "PerceptualSimilarity/weights/v0.1/alex.pth")
 
-    net = alexnet(pretrained=True).features
-    convs = [m for m in net if isinstance(m, torch.nn.Conv2d)]
+
+def load_reference_linear_heads(path: str = REFERENCE_ALEX_HEADS):
+    """Convert the reference's vendored LPIPS v0.1 alex linear heads
+    (MSI_SR_model/utils/PerceptualSimilarity/weights/v0.1/alex.pth —
+    five 1x1 convs ``lin{i}.model.1.weight`` of shape (1,C,1,1)) to the
+    (C,) per-channel weights our graph consumes. These ship WITH the
+    reference; only the torchvision AlexNet backbone stays env-gated."""
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    return [sd[f"lin{i}.model.1.weight"].numpy()[0, :, 0, 0]
+            for i in range(5)]
+
+
+def backbone_params_from_torch_features(features) -> dict:
+    """Convert a torchvision-layout ``alexnet().features`` Sequential to
+    our conv param dict (OIHW -> HWIO)."""
+    import torch
+
+    convs = [m for m in features if isinstance(m, torch.nn.Conv2d)]
     params = {}
     for i, m in enumerate(convs):
         params[f"conv{i}_w"] = m.weight.detach().numpy().transpose(
             2, 3, 1, 0)
         params[f"conv{i}_b"] = m.bias.detach().numpy()
+    return params
+
+
+def export_pack(out_path: str):  # pragma: no cover - needs torchvision
+    """Convert torchvision alexnet + the vendored linear heads to the npz
+    pack."""
+    from torchvision.models import alexnet
+
+    params = backbone_params_from_torch_features(
+        alexnet(pretrained=True).features)
     try:
+        lins = load_reference_linear_heads()
+    except Exception:
         import lpips
         ln = lpips.LPIPS(net="alex")
-        for i, lin in enumerate(ln.lins):
-            params[f"lin{i}"] = (lin.model[1].weight.detach().numpy()
-                                 [0, :, 0, 0])
-    except Exception:
-        for i, (co, *_rest) in enumerate(_ALEX_CFG):
-            params[f"lin{i}"] = np.ones(co, np.float32) / co
+        lins = [lin.model[1].weight.detach().numpy()[0, :, 0, 0]
+                for lin in ln.lins]
+    for i, lin in enumerate(lins):
+        params[f"lin{i}"] = lin
     np.savez(out_path, **params)
 
 
