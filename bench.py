@@ -24,6 +24,12 @@ import numpy as np
 
 
 REF_IMAGES_PER_SEC_EST = 2.0
+# Reference per-image latency estimate used by bench_latency's vs_baseline:
+# the PyTorch reference at batch 1 / T=20 / 256x256 on its cuda-11.1-era
+# single GPU (requirements.txt:2-3). NOT a measurement — the repo records
+# no numbers (BASELINE.json "published": {}) and no reference GPU exists
+# in this environment; 0.5 s/image = 1 / REF_IMAGES_PER_SEC_EST.
+REF_LATENCY_SEC_EST = 1.0 / REF_IMAGES_PER_SEC_EST
 
 
 def bench_full():
@@ -171,7 +177,7 @@ def bench_latency():
         "metric": "sr_latency_sec_per_image_64to256_T20_batch1",
         "value": round(float(np.median(ts)), 4),
         "unit": "sec/image (batch 1, median of 10)",
-        "vs_baseline": round(0.5 / float(np.median(ts)), 2),
+        "vs_baseline": round(REF_LATENCY_SEC_EST / float(np.median(ts)), 2),
     }))
 
 
@@ -214,14 +220,22 @@ def main():
 
     cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32, -1.0, 1.0)
 
+    def keys_for(i):
+        # mesh mode shards the rng with the batch -> per-image keys
+        if mesh is None:
+            return jax.random.fold_in(rng, i)
+        from fastdiffsr_tpu.train import pad_batch_with_keys
+        return pad_batch_with_keys(cond, B, jax.random.fold_in(rng, i),
+                                   0)[1]
+
     # warmup / compile (np.asarray = hard host sync; on the axon tunnel
     # block_until_ready alone has proven unreliable for timing)
-    out = np.asarray(sample_fn(params, cond, rng))
+    out = np.asarray(sample_fn(params, cond, keys_for(-1 % 2**31)))
 
     n_rep = 5
     t0 = time.time()
     for i in range(n_rep):
-        out = sample_fn(params, cond, jax.random.fold_in(rng, i))
+        out = sample_fn(params, cond, keys_for(i))
     out = np.asarray(out)
     dt = time.time() - t0
 

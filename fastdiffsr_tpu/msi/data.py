@@ -24,8 +24,15 @@ def _load_pil(path: str):
     return img
 
 
-def _triple_from_pil(img, scale: int, crop_size: int | None = None):
-    """(lr, hr, bicubic) float32 [0,1] NHWC arrays from one PIL image."""
+def _triple_from_pil(img, scale: int, crop_size: int | None = None,
+                     noise=None, noise_rng=None):
+    """(lr, hr, bicubic) float32 [0,1] NHWC arrays from one PIL image.
+
+    ``noise=(type, value)`` injects Gaussian ('Gaussain', the reference's
+    spelling) or salt&pepper ('Poisson', ditto) noise into the LR image
+    BEFORE the bicubic re-upsample, matching the reference test datasets
+    (data/dataset.py:186-207: input and input_resize both come from the
+    noisy LR)."""
     from PIL import Image
     if crop_size:
         w, h = img.size
@@ -39,6 +46,19 @@ def _triple_from_pil(img, scale: int, crop_size: int | None = None):
     if (w, h) != img.size:
         img = img.crop((0, 0, w, h))
     lr = img.resize((w // scale, h // scale), Image.BICUBIC)
+    if noise is not None:
+        from .degradation import add_gaussian_noise, add_salt_pepper_noise
+        noise_type, noise_value = noise
+        lr_u8 = np.asarray(lr, np.uint8)
+        if noise_type == "Gaussain":  # reference spelling
+            lr_u8 = add_gaussian_noise(lr_u8, amplitude=noise_value,
+                                       rng=noise_rng)
+        elif noise_type == "Poisson":  # reference maps this to salt&pepper
+            lr_u8 = add_salt_pepper_noise(lr_u8, density=noise_value,
+                                          rng=noise_rng)
+        else:
+            raise ValueError(f"unknown noise type {noise_type!r}")
+        lr = Image.fromarray(lr_u8)
     bc = lr.resize((w, h), Image.BICUBIC)
     to_f = lambda im: np.asarray(im, np.float32) / 255.0
     return to_f(lr), to_f(img), to_f(bc)
@@ -64,7 +84,7 @@ class RGBSRDataset:
 
     def __init__(self, image_dirs: Sequence[str], crop_size: int | None,
                  scale_factor: int, split: str = "train",
-                 data_len: int = -1):
+                 data_len: int = -1, noise=None, seed: int = 0):
         if isinstance(image_dirs, str):
             image_dirs = [image_dirs]
         self.files = list_images(image_dirs)
@@ -72,6 +92,8 @@ class RGBSRDataset:
         self.crop_size = crop_size
         self.scale = scale_factor
         self.split = split
+        self.noise = noise  # (type, value) degradation, see _triple_from_pil
+        self._noise_rng = np.random.default_rng(seed)
         self.data_len = (len(self.files) if data_len <= 0
                          else min(data_len, len(self.files)))
 
@@ -81,7 +103,9 @@ class RGBSRDataset:
     def __getitem__(self, index: int) -> dict:
         path = self.files[index]
         img = _load_pil(path)
-        lr, hr, bc = _triple_from_pil(img, self.scale, self.crop_size)
+        lr, hr, bc = _triple_from_pil(img, self.scale, self.crop_size,
+                                      noise=self.noise,
+                                      noise_rng=self._noise_rng)
         cls = os.path.basename(os.path.dirname(path))
         return {"LR": lr, "HR": hr, "Bicubic": bc,
                 "Index": np.int32(index), "path": path, "class": cls}

@@ -94,6 +94,17 @@ class DRRDBNet(nn.Module):
         out = feat + trunk
 
         scale = self.scale
+        # the reference only constructs correct upsampling for 2^n / 3^n
+        # scales (ndsrgan.py:192-196 — scale 6 silently builds a single 3x
+        # stage); reject the divergent cases instead of mis-converting
+        if (scale & (scale - 1)) != 0:
+            s = scale
+            while s % 3 == 0:
+                s //= 3
+            if s != 1:
+                raise ValueError(
+                    f"DRRDBNet upscale_factor={scale} unsupported: the "
+                    "reference generator only builds 2^n or 3^n stacks")
         idx = 0
         while scale > 1:
             r = 3 if scale % 3 == 0 else 2
