@@ -40,11 +40,21 @@ class WandbLogger:
         if self.enabled:
             self._wandb.log({key: [self._wandb.Image(i) for i in images]})
 
-    def log_checkpoint(self, current_epoch, current_step):
+    def log_checkpoint(self, current_epoch, current_step, ckpt_path=None):
+        """Attach the checkpoint files to the artifact (the reference adds
+        the _gen/_opt .pth pair, core/wandb_logger.py:70-95; here the
+        checkpoint is the I{it}_E{epoch} directory)."""
         if not self.enabled:
             return
-        art = self._wandb.Artifact(f"model-{self._wandb.run.id}",
-                                   type="model")
+        import os
+
+        art = self._wandb.Artifact(
+            f"model-{self._wandb.run.id}", type="model",
+            metadata={"epoch": current_epoch, "iter": current_step})
+        if ckpt_path and os.path.isdir(ckpt_path):
+            art.add_dir(ckpt_path)
+        elif ckpt_path and os.path.isfile(ckpt_path):
+            art.add_file(ckpt_path)
         self._wandb.log_artifact(art, aliases=["latest",
                                                f"it{current_step}"])
 
