@@ -315,19 +315,24 @@ def main(argv=None):
         # the jitted step — zero steady-state host->device traffic (also
         # sidesteps the axon-tunnel per-transfer host leak, BASELINE.md)
         use_cache = bool(opt["datasets"]["train"].get("device_cache"))
-        if use_cache and mesh is not None:
-            logger.info("device_cache is single-chip only for now; "
-                        "falling back to the host loader on the DP mesh")
-            use_cache = False
         steps_per_epoch = max(len(train_set) // max(bsz, 1), 1)
         if use_cache:
             from ..train import make_cached_train_step
             raw = train_set.raw_uint8()
-            device_data = {k: jax.device_put(v) for k, v in raw.items()}
+            if mesh is not None:
+                # replicate the tile corpus over the DP mesh; the cached
+                # step shards the assembled batch on the data axis
+                from ..parallel import replicated_sharding
+                repl = replicated_sharding(mesh)
+                device_data = {k: jax.device_put(v, repl)
+                               for k, v in raw.items()}
+            else:
+                device_data = {k: jax.device_put(v) for k, v in raw.items()}
             cached_step = make_cached_train_step(
                 eng_train, apply_fn, tx, bsz,
                 ema_decay=float(ema_cfg.get("ema_decay", 0.9999)),
-                ema_start=int(ema_cfg.get("step_start_ema", 5000)))
+                ema_start=int(ema_cfg.get("step_start_ema", 5000)),
+                mesh=mesh)
             logger.info(
                 f"device-resident dataset: {raw['HR'].shape[0]} tiles, "
                 f"{sum(v.nbytes for v in raw.values()) / 1e6:.0f} MB in HBM "

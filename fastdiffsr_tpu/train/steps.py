@@ -93,7 +93,8 @@ def make_cached_train_step(engine: DiffusionEngine,
                            batch_size: int,
                            ema_decay: float = 0.9999,
                            ema_start: int = 5000,
-                           hflip: bool = True):
+                           hflip: bool = True,
+                           mesh=None):
     """Device-resident-dataset train step: the whole (uint8) dataset lives
     in HBM and batch assembly — random index draw, [-1,1] normalization,
     paired random hflip — happens INSIDE the jitted program.
@@ -109,6 +110,13 @@ def make_cached_train_step(engine: DiffusionEngine,
     Batches are drawn with replacement (the loader's epoch-permutation
     semantics are not reproduced); normalization and paired-hflip match
     the loader exactly (data/dataset.py to_minus1_1/_maybe_flip).
+
+    With a ``mesh`` the uint8 dataset is REPLICATED across devices (UCM/
+    Potsdam-scale tile corpora fit one chip's HBM; replication keeps the
+    per-step gather local) and the assembled batch is sharding-constrained
+    onto the ``data`` axis, so the UNet fwd/bwd runs DP with XLA-inserted
+    grad psums — the fastest training mode and DP compose
+    (tests/test_train.py::test_cached_train_step_mesh).
     """
     body = _train_step_body(engine, apply_fn, tx, ema_decay, ema_start)
 
@@ -127,9 +135,16 @@ def make_cached_train_step(engine: DiffusionEngine,
 
     def train_step(state: TrainState, data: dict, rng: jax.Array):
         batch, rng_body = assemble(data, rng)
+        if mesh is not None:
+            batch = jax.lax.with_sharding_constraint(
+                batch, batch_sharding(mesh))
         return body(state, batch, rng_body)
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=(0,))
+    repl = replicated_sharding(mesh)
+    return jax.jit(train_step, in_shardings=(repl, repl, repl),
+                   out_shardings=(repl, repl), donate_argnums=(0,))
 
 
 def pad_batch_with_keys(cond, full_b: int, rng, start_index: int):

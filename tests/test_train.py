@@ -166,6 +166,41 @@ def test_checkpoint_roundtrip(backend, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_cached_train_step_mesh():
+    """Device-resident dataset mode composes with the DP mesh: replicated
+    uint8 data, in-jit batch assembly, batch sharding-constrained onto the
+    data axis — identical math to the single-device cached step."""
+    from fastdiffsr_tpu.parallel import replicated_sharding
+    from fastdiffsr_tpu.train import make_cached_train_step
+
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 1e-3})
+    g = np.random.default_rng(0)
+    raw = {k: jnp.asarray(g.integers(0, 255, (10, 16, 16, 3),
+                                     dtype=np.uint8))
+           for k in ("HR", "SR")}
+    rng = jax.random.PRNGKey(5)
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+
+    step_a = make_cached_train_step(engine, apply_fn, tx, batch_size=8,
+                                    ema_start=0)
+    state_a, m_a = step_a(create_train_state(copy(params), tx), raw, rng)
+
+    mesh = make_mesh(8)
+    repl = replicated_sharding(mesh)
+    data = {k: jax.device_put(v, repl) for k, v in raw.items()}
+    step_b = make_cached_train_step(engine, apply_fn, tx, batch_size=8,
+                                    ema_start=0, mesh=mesh)
+    state_b, m_b = step_b(create_train_state(copy(params), tx), data, rng)
+
+    np.testing.assert_allclose(float(m_a["l_pix"]), float(m_b["l_pix"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params),
+                    jax.tree_util.tree_leaves(state_b.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
 @pytest.mark.parametrize("backend", ["pickle", "orbax"])
 def test_load_params_only_orbax(backend, tmp_path):
     """load_params_only (used by the val/infer CLIs with no full template)
