@@ -114,6 +114,12 @@ def build_all(opt, phase: str, mesh=None):
     return eng_train, eng_val, net, apply_fn, params
 
 
+# jitted-sampler cache for run_validation (keyed by engine/apply_fn
+# identity + mesh + sampler options; cleared on any key change — the train
+# CLI only ever holds one live engine)
+_SAMPLE_FN_CACHE: dict = {}
+
+
 def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
                    mesh="auto", scale=4, max_images=None, save_images=True,
                    wandb_logger=None, save_plots=False):
@@ -138,11 +144,21 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
     # optional DDIM override via model.diffusion {sampler, ddim_steps,
     # ddim_eta} — capability beyond the reference schema, default ancestral
     diff_opt = (opt.get("model") or {}).get("diffusion") or {}
-    sample_fn = make_sample_fn(
-        engine_val, apply_fn, mesh=mesh,
-        sampler=diff_opt.get("sampler") or "ancestral",
-        ddim_steps=diff_opt.get("ddim_steps"),
-        ddim_eta=float(diff_opt.get("ddim_eta") or 0.0))
+    # cache the jitted sampler across validation passes: a fresh jit
+    # wrapper per pass would recompile the whole T-step scan every
+    # val_freq iters (~20-30 s each on the TPU)
+    key = (id(engine_val), id(apply_fn), mesh,
+           diff_opt.get("sampler") or "ancestral",
+           diff_opt.get("ddim_steps"),
+           float(diff_opt.get("ddim_eta") or 0.0))
+    sample_fn = _SAMPLE_FN_CACHE.get(key)
+    fresh_fn = sample_fn is None
+    if fresh_fn:
+        sample_fn = make_sample_fn(
+            engine_val, apply_fn, mesh=mesh,
+            sampler=key[3], ddim_steps=key[4], ddim_eta=key[5])
+        _SAMPLE_FN_CACHE.clear()  # one live entry: engines are per-process
+        _SAMPLE_FN_CACHE[key] = sample_fn
 
     rng = jax.random.PRNGKey(opt.get("val_seed") or 0)
     sums = {"psnr": 0.0, "ssim": 0.0, "mse": 0.0, "ergas": 0.0, "lpips": 0.0,
@@ -164,7 +180,7 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
         # still compute, so dividing by the true count would inflate tails)
         # first batch includes JIT compile — label it so the per-image
         # figure isn't mistaken for steady-state (ADVICE.md r1)
-        dt_note = " incl. compile" if first_batch else ""
+        dt_note = " incl. compile" if (first_batch and fresh_fn) else ""
         first_batch = False
 
         for j in range(b):

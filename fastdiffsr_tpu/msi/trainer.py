@@ -92,6 +92,8 @@ class SupervisedSRTrainer:
 
         step = int(self.state.step)
         best_psnr = -1.0
+        avg_losses = []
+        epochs_run = 0
         for epoch in range(num_epochs):
             t0 = time.time()
             losses = []
@@ -103,6 +105,8 @@ class SupervisedSRTrainer:
                 step += 1
                 if max_steps and step >= max_steps:
                     break
+            avg_losses.append(float(np.mean(losses)))
+            epochs_run = epoch + 1
             self.logger.info(
                 f"epoch {epoch + 1}/{num_epochs}: loss "
                 f"{np.mean(losses):.4e} ({time.time() - t0:.1f}s)")
@@ -115,6 +119,9 @@ class SupervisedSRTrainer:
             self.save(epoch + 1)
             if max_steps and step >= max_steps:
                 break
+        # per-epoch loss curve (reference utils.plot_loss, utils.py:54)
+        from .plots import plot_loss
+        plot_loss(avg_losses, epochs_run, save_dir=self.save_dir)
         return self.state
 
     def save(self, epoch: int, tag: str = ""):
@@ -129,7 +136,8 @@ class SupervisedSRTrainer:
     # ------------------------------------------------------------------ #
 
     def _eval_one(self, sample: dict, save_dir: Optional[str] = None,
-                  idx: int = 0):
+                  idx: int = 0, plot_dir: Optional[str] = None,
+                  classname: Optional[str] = None):
         lr = jnp.asarray(sample["LR"][None])
         sr = np.asarray(self._infer(self.state.params, lr))[0]
         sr8 = (np.clip(sr, 0, 1) * 255).round().astype(np.uint8)
@@ -148,10 +156,23 @@ class SupervisedSRTrainer:
             res["lpips"] = lp
         if save_dir:
             M.save_img(sr8, os.path.join(save_dir, f"{idx}_sr.png"))
+        if plot_dir is not None:
+            # HR | LR | Bicubic | SR panel with metric captions
+            # (mfe_plot_test_result2, utils/utils.py:251)
+            from .plots import plot_test_result
+            bc_m = {"psnr": res["psnr_bicubic"],
+                    "ssim": M.calculate_ssim(bc8, hr8),
+                    "ergas": M.calculate_ergas(bc8, hr8,
+                                               scale=self.scale),
+                    "mse": M.calculate_mse(bc8, hr8)}
+            plot_test_result(
+                [hr8, sample["LR"], bc8, sr8], idx, save_dir=plot_dir,
+                metrics=[None, None, bc_m, res], classname=classname)
         return res
 
     def validate(self, val_dirs, max_images: Optional[int] = None,
-                 save_images: bool = True, crop: Optional[int] = None):
+                 save_images: bool = True, crop: Optional[int] = None,
+                 save_plots: bool = False):
         """mfeNew_validate equivalent (swinir.py:1288+)."""
         ds = RGBSRDataset(val_dirs, crop or
                           int(getattr(self.args, "test_crop_size", 256)),
@@ -160,12 +181,13 @@ class SupervisedSRTrainer:
             if save_images else None
         if save_dir:
             os.makedirs(save_dir, exist_ok=True)
+        plot_dir = self.save_dir if save_plots else None
         agg = {}
         n = 0
         for i in range(len(ds)):
             if max_images and i >= max_images:
                 break
-            res = self._eval_one(ds[i], save_dir, i)
+            res = self._eval_one(ds[i], save_dir, i, plot_dir=plot_dir)
             for k, v in res.items():
                 agg[k] = agg.get(k, 0.0) + v
             n += 1
@@ -175,9 +197,12 @@ class SupervisedSRTrainer:
         return out
 
     def validate_by_class(self, val_dirs, max_per_class: Optional[int] =
-                          None, save_images: bool = False):
+                          None, save_images: bool = False,
+                          save_plots: bool = False):
         """mfeNew_validateByClass equivalent (swinir.py:1430+): metrics
-        grouped by class subfolder, plus the overall mean."""
+        grouped by class subfolder, plus the overall mean. ``save_plots``
+        saves the per-image panel under testplot/<class>/ and a
+        per-class PSNR/ERGAS bar chart."""
         ds = RGBSRDataset(val_dirs, int(getattr(self.args,
                                                 "test_crop_size", 256)),
                           self.scale, split="val")
@@ -189,7 +214,10 @@ class SupervisedSRTrainer:
                     len(per_class.get(cls, {}).get("_n", [])) >= \
                     max_per_class:
                 continue
-            res = self._eval_one(sample)
+            res = self._eval_one(
+                sample, idx=i,
+                plot_dir=self.save_dir if save_plots else None,
+                classname=cls if save_plots else None)
             slot = per_class.setdefault(cls, {"_n": []})
             slot["_n"].append(1)
             for k, v in res.items():
@@ -207,6 +235,13 @@ class SupervisedSRTrainer:
         report["__overall__"] = overall
         self.logger.info("overall: " + " ".join(
             f"{k} {v:.4f}" for k, v in overall.items()))
+        if save_plots and len(report) > 1:
+            from .plots import plot_class_report
+            for metric in ("psnr", "ergas"):
+                plot_class_report(
+                    report, metric,
+                    os.path.join(self.save_dir, "testplot",
+                                 f"by_class_{metric}.png"))
         return report
 
     def test_single(self, img_path: str, out_path: str):

@@ -48,9 +48,23 @@ def test_trainer_train_validate(msi_env):
     assert "psnr" in res and np.isfinite(res["psnr"])
     assert os.path.isdir(os.path.join(tr.save_dir, "validate"))
 
-    report = tr.validate_by_class([str(msi_env / "data")])
+    report = tr.validate_by_class([str(msi_env / "data")],
+                                  save_plots=True)
     assert set(report) == {"forest", "river", "__overall__"}
     assert np.isfinite(report["__overall__"]["psnr"])
+    # plot suite outputs (mfe_plot_test_result2 / by-class variants)
+    tp = os.path.join(tr.save_dir, "testplot")
+    assert os.path.isfile(os.path.join(tp, "by_class_psnr.png"))
+    assert any(f.startswith("Test_result_")
+               for f in os.listdir(os.path.join(tp, "forest")))
+    # loss curve from train() (utils.plot_loss)
+    assert any(f.startswith("Loss_values_epoch_")
+               for f in os.listdir(tr.save_dir))
+
+    res = tr.validate([str(msi_env / "data")], max_images=1,
+                      save_images=False, save_plots=True)
+    assert any(f.startswith("Test_result_")
+               for f in os.listdir(tp))
 
 
 def test_trainer_single_image(msi_env):
