@@ -6,8 +6,10 @@ train/validate/mfeNew_validate/mfeNew_validateByClass/dm_test_single) with
 ONE trainer parameterized by (model, losses):
 
 - pixel loss: Charbonnier (reference swinir.py:846-852; the VGG content
-  loss is computed there but NOT added to the total — swinir.py:948-953 —
-  so it is intentionally omitted here);
+  loss is computed there but NOT added to the total — swinir.py:948-957:
+  ``loss_G = pixel_loss_G`` — so default-off here for parity; pass
+  ``vgg_loss_weight > 0`` (needs the models/vgg_feat.py weight pack) to
+  actually apply it);
 - optional adversarial loss hook for NDSRGAN-style training;
 - Adam(lr 2e-4, betas (0.9, 0.999)) (main_swinir.py:30-32);
 - validate(): PSNR/SSIM/ERGAS (+LPIPS when available) vs the bicubic
@@ -59,12 +61,27 @@ class SupervisedSRTrainer:
                             deterministic=True)["params"]
         self.state = create_train_state(params, self.tx)
 
+        # opt-in perceptual term (beyond reference behavior, see module
+        # docstring); requires the converted VGG19 pack
+        vgg_w = float(getattr(args, "vgg_loss_weight", 0.0) or 0.0)
+        vgg = None
+        if vgg_w > 0:
+            from ..models.vgg_feat import load_default
+            # MSI extractor shape: features[:12], no input norm
+            vgg = load_default(feature_layer=11, use_input_norm=False)
+
         def train_step(state: TrainState, lr_batch, hr_batch, key):
             def loss_fn(params):
                 out = model.apply({"params": params}, lr_batch,
                                   deterministic=False,
                                   rngs={"dropout": key})
-                return charbonnier(out, hr_batch)
+                loss = charbonnier(out, hr_batch)
+                if vgg is not None:
+                    loss = loss + vgg_w * charbonnier(
+                        vgg._forward(vgg.params, out),
+                        jax.lax.stop_gradient(
+                            vgg._forward(vgg.params, hr_batch)))
+                return loss
 
             loss, grads = jax.value_and_grad(loss_fn)(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state,
