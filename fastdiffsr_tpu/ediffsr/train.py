@@ -202,10 +202,10 @@ def main(argv=None):
     rng = jax.random.PRNGKey(int((opt["train"] or {}).get("manual_seed", 0)
                                  or 0))
 
+    from .deg import upscale as _upscale
+
     def upscale(lq):
-        b, h, w, c = lq.shape
-        return jax.image.resize(lq, (b, h * scale, w * scale, c),
-                                method="bicubic")
+        return _upscale(lq, scale)
 
     if args.test:
         params = None
@@ -223,24 +223,37 @@ def main(argv=None):
 
         restore = make_restore_fn(sde, apply_fn, scale, args.sampler)
 
-        # full metric suite per reference EDiffSR test.py:84-131
-        # (PSNR/SSIM/ERGAS/LPIPS + per-image latency)
+        results_dir = opt["path"].get("results_root") or opt["path"]["log"]
+        os.makedirs(results_dir, exist_ok=True)
+
+        # full metric suite per reference EDiffSR test.py:84-141
+        # (PSNR/SSIM/ERGAS/LPIPS + per-image latency + saved SR images
+        # + comparison plot)
         psnrs, ssims, ergases, lpipss, times = [], [], [], [], []
         for i, batch in enumerate(loaders["val"]):
             t0 = time.time()
+            lq = jnp.asarray(batch["LQ"])
             out = np.asarray(jax.block_until_ready(
-                restore(params, jnp.asarray(batch["LQ"]),
-                        jax.random.fold_in(rng, i))))
+                restore(params, lq, jax.random.fold_in(rng, i))))
             times.append(time.time() - t0)
             sr8 = (np.clip(out[0], 0, 1) * 255).round().astype(np.uint8)
             gt8 = (np.clip(batch["GT"][0], 0, 1) * 255).round().astype(
                 np.uint8)
+            name = os.path.splitext(os.path.basename(
+                batch.get("LQ_path", [f"{i:03d}"])[0]))[0]
+            M.save_img(sr8, os.path.join(results_dir, f"{name}.png"))
             psnrs.append(M.calculate_psnr(sr8, gt8))
             ssims.append(M.calculate_ssim(sr8, gt8))
             ergases.append(M.calculate_ergas(sr8, gt8, scale=scale))
             lp = M.calculate_lpips(sr8, gt8)
             if lp is not None:
                 lpipss.append(lp)
+            # comparison plot (reference test.py:141 util.plot_img)
+            bc8 = (np.clip(np.asarray(upscale(lq))[0], 0, 1)
+                   * 255).round().astype(np.uint8)
+            M.plot_img(os.path.join(results_dir, f"{name}_plot.png"),
+                       bc8, sr8, gt8, psnrs[-1], ssims[-1], ergases[-1],
+                       lp)
             logger.info(f"img {i}: psnr {psnrs[-1]:.3f} "
                         f"ssim {ssims[-1]:.4f} ergas {ergases[-1]:.4f} "
                         f"lpips {lp if lp is not None else 'n/a'} "

@@ -220,6 +220,36 @@ def test_bokeh_mode(tmp_path):
     np.testing.assert_allclose(s["disparity"], 3.0)
 
 
+def test_deg_utils(tmp_path):
+    """deg_utils parity: upscale shape, add_noise sigma convention,
+    mask_to keep-mask semantics (EDiffSR/codes/utils/deg_utils.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdiffsr_tpu.ediffsr.deg import add_noise, mask_to, upscale
+
+    x = jnp.zeros((2, 8, 8, 3)) + 0.5
+    up = upscale(x, 4)
+    assert up.shape == (2, 32, 32, 3)
+
+    key = jax.random.PRNGKey(0)
+    noisy_small = add_noise(x, 0.1, key)
+    noisy_255 = add_noise(x, 25.5, key)  # sigma>1 -> /255
+    np.testing.assert_allclose(np.asarray(noisy_small),
+                               np.asarray(noisy_255), atol=1e-7)
+    assert float(jnp.std(noisy_small - x)) == pytest.approx(0.1, rel=0.2)
+
+    # keep-mask: left half kept, right half filled with 1.0
+    mask_dir = tmp_path / "masks"
+    mask_dir.mkdir()
+    m = np.zeros((8, 8, 3), np.uint8)
+    m[:, :4] = 255
+    Image.fromarray(m).save(mask_dir / "000000.png")
+    out = np.asarray(mask_to(x, str(mask_dir), mask_id=0))
+    np.testing.assert_allclose(out[:, :, :4], 0.5)
+    np.testing.assert_allclose(out[:, :, 4:], 1.0)
+
+
 def test_loader_factory(tmp_path):
     gt_dir, lq_dir = _make_tree(tmp_path)
     opt = {"datasets": {
