@@ -1,9 +1,9 @@
 """Offline FID scorer — the ``FID.py`` equivalent (reference FID.py:5-21).
 
-The reference shells out to pytorch_fid (InceptionV3 features). Neither
-pytorch_fid nor torchvision weights are available in this environment, so
-this computes FID from Inception-free features only when a feature extractor
-is importable; otherwise it exits with a clear message. The statistical part
+The reference shells out to pytorch_fid (InceptionV3 pool3 features). The
+feature network lives at models/inception.py (golden-tested graph +
+converter; the TF-ported weights are env-gated like LPIPS — export the
+pack on a machine with pytorch_fid/torchvision). The statistical part
 (Frechet distance between Gaussians) is implemented here and unit-tested.
 """
 
@@ -32,28 +32,44 @@ def activation_statistics(feats: np.ndarray):
     return mu, sigma
 
 
-def calc_fid(dir_fake: str, dir_real: str) -> float:
-    try:
-        from ..lpips_jax import alexnet_features  # reuse conv features
-    except Exception as e:
-        raise SystemExit(
-            f"FID feature extractor unavailable in this environment: {e}")
+def directory_features(d: str, extractor, batch_size: int = 8
+                       ) -> np.ndarray:
+    """Stack extractor features over every image in a directory."""
     import glob
     import os
 
+    import jax.numpy as jnp
     from PIL import Image
 
-    def feats_of(d):
-        fs = sorted(glob.glob(os.path.join(d, "*")))
-        out = []
-        for f in fs:
+    fs = sorted(p for p in glob.glob(os.path.join(d, "*"))
+                if os.path.isfile(p))
+    if not fs:
+        raise SystemExit(f"no images under {d}")
+    out = []
+    for start in range(0, len(fs), batch_size):
+        chunk = fs[start:start + batch_size]
+        imgs = []
+        for f in chunk:
             with Image.open(f) as im:
-                arr = np.asarray(im.convert("RGB"), np.float32) / 255.0
-            out.append(alexnet_features(arr))
-        return np.stack(out)
+                imgs.append(np.asarray(im.convert("RGB"),
+                                       np.float32) / 255.0)
+        if len({im.shape for im in imgs}) == 1:
+            out.append(extractor(jnp.asarray(np.stack(imgs))))
+        else:  # mixed sizes: per-image (the extractor resizes internally)
+            out.extend(extractor(jnp.asarray(im[None])) for im in imgs)
+    return np.concatenate(out)
 
-    mu1, s1 = activation_statistics(feats_of(dir_fake))
-    mu2, s2 = activation_statistics(feats_of(dir_real))
+
+def calc_fid(dir_fake: str, dir_real: str) -> float:
+    try:
+        from ..models.inception import load_default
+        extractor = load_default()
+    except FileNotFoundError as e:
+        raise SystemExit(
+            f"FID feature extractor unavailable in this environment: {e}")
+
+    mu1, s1 = activation_statistics(directory_features(dir_fake, extractor))
+    mu2, s2 = activation_statistics(directory_features(dir_real, extractor))
     return frechet_distance(mu1, s1, mu2, s2)
 
 
