@@ -51,3 +51,17 @@ def parse_options(path: str, is_train: bool = True,
         os.makedirs(results_root, exist_ok=True)
 
     return dict_to_nonedict(opt)
+
+
+def check_resume(opt) -> None:
+    """Resume-path consistency (reference options.py:125-145): when
+    ``path.resume_state`` is set, any explicit ``pretrain_model_G`` is
+    ignored with a warning (our checkpoints bundle params+opt_state in one
+    ``I{iter}_E{epoch}`` dir, so no path rewiring is needed — resume loads
+    everything from resume_state)."""
+    import logging
+
+    if opt["path"]["resume_state"] and opt["path"].get("pretrain_model_G"):
+        logging.getLogger("ediffsr").warning(
+            "pretrain_model path will be ignored when resuming training.")
+        opt["path"]["pretrain_model_G"] = None

@@ -182,6 +182,9 @@ def main(argv=None):
     opt = parse_options(args.opt, is_train=not args.test)
     logger = setup_logger("ediffsr", opt["path"]["log"],
                           "test" if args.test else "train", screen=True)
+    if not args.test:
+        from .options import check_resume
+        check_resume(opt)
 
     import jax
     import jax.numpy as jnp
