@@ -99,7 +99,7 @@ def _halos(x: jax.Array, th: int, nH: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups", "eps", "apply_norm", "want_stats"))
+    static_argnames=("groups", "eps", "apply_norm", "want_stats", "split"))
 def fused_gn_swish_conv3x3(x,
                            gn_scale: Optional[jax.Array],
                            gn_bias: Optional[jax.Array],
@@ -111,7 +111,8 @@ def fused_gn_swish_conv3x3(x,
                            groups: int = 32,
                            eps: float = 1e-5,
                            apply_norm: bool = True,
-                           want_stats: bool = True):
+                           want_stats: bool = True,
+                           split: str = "none"):
     """y [+ stats_y].
 
     x: (B,H,W,C) feature map, or a tuple of maps consumed as a channel
@@ -121,6 +122,17 @@ def fused_gn_swish_conv3x3(x,
     bias (FeatureWiseAffine). res: optional (B,H,W,Co) residual added
     before the stats epilogue. Returns y (B,H,W,Co) in x.dtype and, when
     want_stats, stats_y (B,2,Co) f32.
+
+    split: how the im2col matmul is decomposed per grid step —
+      "none":  one (th*W, 9C) patch and one K=9C dot (full patch-build
+               barrier before the MXU starts);
+      "dy":    three accumulating dots of K=3C per source, each on a
+               patch slice built just before it — shortens the VPU
+               dependency chain ahead of each MXU issue so Mosaic can
+               overlap building chunk i+1 with the dot of chunk i;
+      "dydx":  nine accumulating dots of K=C per source on shifted VIEWS
+               (no patch concat at all; trades lane-padding waste at
+               K=C<128 for zero build copies).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -182,8 +194,7 @@ def fused_gn_swish_conv3x3(x,
             jnp.logical_or(row_idx > 0, j > 0),
             jnp.logical_or(row_idx < th + 1, j < nj - 1))
 
-        parts = []
-        for k in range(n_src):
+        def norm_band(k):
             ck = Cs[k]
             rows = jnp.concatenate(
                 [h_refs[k][0, 0, 0][None], x_refs[k][0],
@@ -197,16 +208,44 @@ def fused_gn_swish_conv3x3(x,
                 xf = jnp.where(edge_ok, xf, 0.0)
             xn = xf.astype(dtype)
             zcol = jnp.zeros((th + 2, 1, ck), xn.dtype)
-            xn = jnp.concatenate([zcol, xn, zcol], axis=1)
-            for dy in range(3):
-                for dx in range(3):
-                    parts.append(
-                        xn[dy:dy + th, dx:dx + W].reshape(th * W, ck))
+            return jnp.concatenate([zcol, xn, zcol], axis=1)
 
-        pat = jnp.concatenate(parts, axis=-1)        # (th*W, 9C)
-        acc = jax.lax.dot_general(
-            pat, w_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # (th*W, Co)
+        def dot_w(pat_k, row0, krows):
+            return jax.lax.dot_general(
+                pat_k, w_ref[row0:row0 + krows, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        if split == "none":
+            parts = []
+            for k in range(n_src):
+                xn = norm_band(k)
+                for dy in range(3):
+                    for dx in range(3):
+                        parts.append(
+                            xn[dy:dy + th, dx:dx + W].reshape(th * W, Cs[k]))
+            pat = jnp.concatenate(parts, axis=-1)    # (th*W, 9C)
+            acc = dot_w(pat, 0, 9 * C)               # (th*W, Co)
+        else:
+            acc = None
+            row0 = 0
+            for k in range(n_src):
+                ck = Cs[k]
+                xn = norm_band(k)
+                for dy in range(3):
+                    if split == "dy":
+                        chunk = jnp.concatenate(
+                            [xn[dy:dy + th, dx:dx + W].reshape(th * W, ck)
+                             for dx in range(3)], axis=-1)
+                        d = dot_w(chunk, row0, 3 * ck)
+                        row0 += 3 * ck
+                        acc = d if acc is None else acc + d
+                    else:                            # "dydx"
+                        for dx in range(3):
+                            d = dot_w(
+                                xn[dy:dy + th, dx:dx + W].reshape(th * W, ck),
+                                row0, ck)
+                            row0 += ck
+                            acc = d if acc is None else acc + d
         acc = acc + bias_ref[...] + sh_ref[0, 0]
         if have_res:
             acc = acc + res_ref[0].reshape(th * W, Co).astype(jnp.float32)
