@@ -1,13 +1,13 @@
 """Micro-bench the fused GN+Swish+Conv3x3 kernel variants per call shape.
 
-The T=20 sampler's fused path spends its time in ~50 fused_gn_swish_conv3x3
-calls; BASELINE.md r2 puts the top-level call at 1.63 ms vs ~0.6-0.7 ms of
-perfectly-overlapped arithmetic. This harness times each `split` decomposition
-("none" = one K=9C dot, "dy" = 3 accumulating K=3C dots, "dydx" = 9 K=C dots
-on shifted views) at the sampler's real call shapes so kernel scheduling
-experiments iterate in seconds instead of full-sampler minutes.
+Timing method: host-side ``block_until_ready`` is NOT a sync over the axon
+tunnel (RTT ~23 ms, dispatches complete "instantly"), so each measurement
+chains N kernel calls inside ONE jitted program (output feeds the next
+input — every sampler call shape here has Co equal to one source's C, so
+chaining is exact) and hard-syncs with a D2H ``np.asarray`` of a scalar.
+Per-call time = (total - RTT) / N.
 
-Usage: python tools/kernel_lab.py [--batch 16] [--reps 20]
+Usage: python tools/kernel_lab.py [--batch 16] [--chain 20] [--reps 5]
 """
 
 import argparse
@@ -19,31 +19,20 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
-def bench_call(fn, args, reps):
-    import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps * 1e3  # ms
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=16)
-    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--chain", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--splits", type=str, default="none,dy,dydx")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     from fastdiffsr_tpu.ops.fused_conv import fused_gn_swish_conv3x3
 
-    B = args.batch
+    B, N = args.batch, args.chain
     # (H, sources, Co): the sampler's fused call shapes at 256² base
     # (mults [1,2,4,4] -> channels 64,128,256,256 at 256,128,64,32 px)
     shapes = [
@@ -53,42 +42,76 @@ def main():
         (32, (256,), 256),
         (256, (64, 64), 64),     # up-block skip-concat
         (128, (128, 128), 128),
+        (64, (256, 256), 256),
+        (32, (256, 256), 256),
     ]
     rng = jax.random.PRNGKey(0)
-    rows = []
+
+    def timeit(f, x):
+        float(np.asarray(f(x)))          # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(args.reps):
+            float(np.asarray(f(x)))
+        return (time.perf_counter() - t0) / args.reps
+
+    @jax.jit
+    def trivial(x):
+        return jnp.sum(x[:, 0, 0, :])
+
+    x_probe = jax.random.normal(rng, (B, 32, 32, 64), jnp.bfloat16)
+    rtt = timeit(trivial, x_probe)
+    print(f"RTT+D2H floor: {rtt * 1e3:.2f} ms", flush=True)
+
+    results = {}
     for H, cs, co in shapes:
-        xs = tuple(
-            jax.random.normal(jax.random.fold_in(rng, i), (B, H, H, c),
-                              jnp.bfloat16) for i, c in enumerate(cs))
-        stats = tuple(
-            jnp.stack([jnp.sum(x.astype(jnp.float32), axis=(1, 2)),
-                       jnp.sum(x.astype(jnp.float32) ** 2, axis=(1, 2))],
-                      axis=1) for x in xs)
+        n_src = len(cs)
         C = sum(cs)
-        w = jax.random.normal(rng, (3, 3, C, co), jnp.float32) * 0.05
+        w = (jax.random.normal(rng, (3, 3, C, co), jnp.float32)
+             * (0.5 / np.sqrt(9 * C)))
         b = jnp.zeros((co,), jnp.float32)
         gs = jnp.ones((C,), jnp.float32)
         gb = jnp.zeros((C,), jnp.float32)
-        x_in = xs if len(xs) > 1 else xs[0]
-        st_in = stats if len(stats) > 1 else stats[0]
-        for split in args.splits.split(","):
-            fn = partial(fused_gn_swish_conv3x3, groups=32,
-                         want_stats=True, split=split)
-            ms = bench_call(fn, (x_in, gs, gb, st_in, w, b), args.reps)
-            label = f"{H}x{H} C={'+'.join(map(str, cs))}->{co}"
-            rows.append((label, split, ms))
-            print(f"{label:28s} split={split:5s} {ms:8.3f} ms", flush=True)
+        x0 = jax.random.normal(rng, (B, H, H, cs[0]), jnp.bfloat16)
 
-    # per-variant total over one UNet eval (approx: counts of each shape in
-    # the fused forward: 256²x4 single + 2 dual, 128²x4 + 3 dual, 64²x7,
-    # 32²x8 — rough weights for comparing totals only)
-    weights = {"256x256 C=64->64": 4, "128x128 C=128->128": 4,
-               "64x64 C=256->256": 7, "32x32 C=256->256": 8,
-               "256x256 C=64+64->64": 2, "128x128 C=128+128->128": 3}
-    for split in args.splits.split(","):
-        tot = sum(ms * weights.get(lbl, 0) for lbl, s, ms in rows
-                  if s == split)
-        print(f"TOTAL(weighted) split={split:5s} {tot:8.2f} ms/eval")
+        for split in args.splits.split(","):
+
+            @jax.jit
+            def run(x, _split=split, _cs=cs, _w=w, _b=b, _gs=gs, _gb=gb):
+                def stats_of(z):
+                    zf = z.astype(jnp.float32)
+                    return jnp.stack([jnp.sum(zf, axis=(1, 2)),
+                                      jnp.sum(zf * zf, axis=(1, 2))], axis=1)
+                y = x
+                for _ in range(N):
+                    xs = (y,) * len(_cs)
+                    st = (stats_of(y),) * len(_cs)
+                    xi = xs if len(xs) > 1 else xs[0]
+                    si = st if len(st) > 1 else st[0]
+                    y, _ = fused_gn_swish_conv3x3(
+                        xi, _gs, _gb, si, _w, _b, groups=32,
+                        want_stats=True, split=_split)
+                return jnp.sum(y.astype(jnp.float32))
+
+            ms = (timeit(run, x0) - rtt) / N * 1e3
+            label = f"{H}x{H} C={'+'.join(map(str, cs))}->{co}"
+            results[(label, split)] = ms
+            print(f"{label:26s} split={split:5s} {ms:8.3f} ms/call",
+                  flush=True)
+
+        # bare XLA conv3x3 on the concat, as the floor reference
+        @jax.jit
+        def conv_chain(x, _cs=cs, _w=w):
+            y = x
+            for _ in range(N):
+                xin = (jnp.concatenate([y] * len(_cs), axis=-1)
+                       if len(_cs) > 1 else y)
+                y = jax.lax.conv_general_dilated(
+                    xin, _w.astype(xin.dtype), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jnp.sum(y.astype(jnp.float32))
+
+        ms = (timeit(conv_chain, x0) - rtt) / N * 1e3
+        print(f"{'':26s} xla conv[+cat] {ms:8.3f} ms/call", flush=True)
 
 
 if __name__ == "__main__":
