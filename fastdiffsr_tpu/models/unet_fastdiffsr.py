@@ -47,13 +47,17 @@ class FusedGNSwish(nn.Module):
         c = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
-        from ..ops.groupnorm import (_gn_swish_reference, gn_swish_custom)
+        from ..ops.groupnorm import (_gn_swish_reference, gn_swish_custom,
+                                     gn_swish_dot)
         on_tpu = jax.default_backend() == "tpu"
         if self.mode in ("pallas", "stats") and on_tpu:
             # custom_vjp: forward = Pallas kernel, backward = XLA formula,
             # so training with FASTDIFFSR_TPU_FUSED_NORM set still works
             return gn_swish_custom(x, scale, bias, self.groups, self.eps,
                                    self.mode)
+        if self.mode == "dot" and on_tpu:
+            # pure XLA, differentiable as-is (no custom_vjp needed)
+            return gn_swish_dot(x, scale, bias, self.groups, self.eps)
         # call the impl unjitted so XLA can fuse it with neighboring convs
         return _gn_swish_reference(x, scale, bias, self.groups, self.eps)
 

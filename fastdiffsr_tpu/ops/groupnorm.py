@@ -195,6 +195,52 @@ def gn_swish_stats(x, scale, bias, groups: int, eps: float = 1e-5):
     return y.astype(x.dtype)
 
 
+def gn_swish_dot(x, scale, bias, groups: int, eps: float = 1e-5):
+    """GroupNorm+Swish with MXU-contraction statistics ('dot' mode).
+
+    Round-1 falsified every VPU-reduce separation of the conv+GN-stats
+    kOutput fusion (BASELINE.md): standalone reduces on the conv's native
+    layout run ~10x off the HBM roofline. This variant instead computes
+    the stats as dot_generals so they land on the MXU:
+
+    - sum(x) over (H, W): ones-matmul ``bhwc,hwk->bkc`` (k=8 columns so
+      XLA emits a real matmul, not a matvec-as-reduce); products x*1 are
+      exact, accumulation is f32.
+    - sum(x^2): the diagonal of the Gram ``bhwc,bhwd->bcd``. For bf16
+      inputs this is *exact* f32 math — bf16 x bf16 products carry <= 16
+      mantissa bits, below f32's 24, and the MXU accumulates in f32 — so
+      unlike truncating f32 activations to bf16 there is no stats
+      precision loss vs a f32 VPU reduce of the same bf16 tensor. The
+      off-diagonal FLOPs are wasted on purpose: ~C x the useful work, but
+      at C<=256 that is ~8.6 GFLOP/call, ~0.1 ms of MXU time, against a
+      multi-ms slow-schedule reduce.
+
+    The normalize/affine/swish epilogue is the same elementwise chain as
+    the default path, so XLA fuses it identically.
+    """
+    b, h, w, c = x.shape
+    cg = c // groups
+    ones_k = jnp.ones((h, w, 8), x.dtype)
+    s1 = jnp.einsum("bhwc,hwk->bkc", x, ones_k,
+                    preferred_element_type=jnp.float32)[:, 0]       # (B, C)
+    gram = jnp.einsum("bhwc,bhwd->bcd", x, x,
+                      preferred_element_type=jnp.float32)
+    s2 = jnp.diagonal(gram, axis1=1, axis2=2)                       # (B, C)
+    cnt = float(h * w * cg)
+    gs1 = jnp.sum(s1.reshape(b, groups, cg), axis=-1)
+    gs2 = jnp.sum(s2.reshape(b, groups, cg), axis=-1)
+    mean_g = gs1 / cnt
+    var_g = jnp.maximum(gs2 / cnt - mean_g ** 2, 0.0)
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)[:, None, None, :]
+    winv_c = jnp.repeat(inv_g, cg, axis=-1)[:, None, None, :] \
+        * scale.astype(jnp.float32)
+    y = (x.astype(jnp.float32) - mean_c) * winv_c \
+        + bias.astype(jnp.float32)
+    y = y * jax.nn.sigmoid(y)
+    return y.astype(x.dtype)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def gn_swish_custom(x, scale, bias, groups: int, eps: float, impl: str):
     """Differentiable wrapper for the Pallas GN+Swish variants: forward
@@ -227,12 +273,13 @@ def default_fused_norm() -> str:
     FASTDIFFSR_TPU_FUSED_NORM: '' (plain nn.GroupNorm, exact parity path),
     'xla' (f32 stats, output cast to compute dtype — one fused elementwise
     chain instead of an f32 materialization), 'pallas' (tiled VMEM kernel),
-    'stats' (Pallas channel-stats pass + reshape-free XLA normalize).
+    'stats' (Pallas channel-stats pass + reshape-free XLA normalize),
+    'dot' (MXU dot-contraction stats, exact for bf16 activations).
     """
     mode = os.environ.get("FASTDIFFSR_TPU_FUSED_NORM", "")
-    if mode not in ("", "xla", "pallas", "stats"):
+    if mode not in ("", "xla", "pallas", "stats", "dot"):
         raise ValueError(f"FASTDIFFSR_TPU_FUSED_NORM={mode!r} "
-                         "(want '', 'xla', 'pallas' or 'stats')")
+                         "(want '', 'xla', 'pallas', 'stats' or 'dot')")
     return mode
 
 

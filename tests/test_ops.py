@@ -144,3 +144,25 @@ def test_fused_norm_modes_are_differentiable():
         for a, b_ in zip(g, g_ref):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                        atol=1e-4)
+
+
+def test_gn_swish_dot_matches_reference():
+    """'dot' mode (MXU contraction stats) must match the reference
+    formulation in f32 and within one bf16 ulp in bf16."""
+    from fastdiffsr_tpu.ops.groupnorm import gn_swish_dot
+    x, scale, bias = _inputs(c=16)
+    want = np.asarray(_gn_swish_reference(x, scale, bias, 4, 1e-5))
+    got = np.asarray(gn_swish_dot(x, scale, bias, 4, 1e-5))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    xb = x.astype(jnp.bfloat16)
+    want16 = np.asarray(
+        _gn_swish_reference(xb, scale, bias, 4, 1e-5).astype(jnp.float32))
+    got16 = np.asarray(
+        gn_swish_dot(xb, scale, bias, 4, 1e-5).astype(jnp.float32))
+    np.testing.assert_allclose(got16, want16, atol=4e-3)
+    # differentiable without a custom_vjp
+    g = jax.grad(lambda xx: jnp.sum(gn_swish_dot(xx, scale, bias, 4,
+                                                 1e-5) ** 2))(x)
+    g_ref = jax.grad(lambda xx: jnp.sum(_gn_swish_reference(
+        xx, scale, bias, 4, 1e-5) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
