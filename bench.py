@@ -200,7 +200,9 @@ def main():
         DiffusionSpec.for_variant("fastdiffsr"),
         ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
-    net = FastDiffSRUNet(dtype=jnp.bfloat16, fused_norm=default_fused_norm())
+    from fastdiffsr_tpu.models.unet_fastdiffsr import default_upsample_mode
+    net = FastDiffSRUNet(dtype=jnp.bfloat16, fused_norm=default_fused_norm(),
+                         upsample_mode=default_upsample_mode())
 
     rng = jax.random.PRNGKey(0)
     params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]

@@ -209,16 +209,106 @@ def nearest_up2(x: jax.Array) -> jax.Array:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+class _Conv3Params(nn.Module):
+    """Bare 3x3-conv parameter holder: same tree path/shapes/init as the
+    ``nn.Conv(dim, (3,3))`` it replaces, so converted checkpoints load
+    identically whichever upsample mode runs the math."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def _upsample_phase_kernel(w: jax.Array) -> jax.Array:
+    """Collapse a 3x3 kernel ``w`` (HWIO) into the four 2x2 phase kernels
+    of the exact nearest-x2+conv3 decomposition, concatenated on the
+    output-channel axis in phase order (a,b) = 00,01,10,11.
+
+    Derivation: y[2i+a, 2j+b] = sum_{di,dj} w[di+1,dj+1] *
+    x[floor((2i+a+di)/2), floor((2j+b+dj)/2)] — for a=0 the row taps are
+    {i-1: w0, i: w1+w2}; for a=1 they are {i: w0+w1, i+1: w2} (same for
+    columns), i.e. each phase is a 2x2 conv over the low-res input."""
+    r0 = jnp.stack([w[0], w[1] + w[2]], axis=0)          # (2,3,ci,co)
+    r1 = jnp.stack([w[0] + w[1], w[2]], axis=0)
+    def colc(k, b):
+        if b == 0:
+            return jnp.stack([k[:, 0], k[:, 1] + k[:, 2]], axis=1)
+        return jnp.stack([k[:, 0] + k[:, 1], k[:, 2]], axis=1)
+    return jnp.concatenate(
+        [colc(r0, 0), colc(r0, 1), colc(r1, 0), colc(r1, 1)],
+        axis=-1)                                          # (2,2,ci,4co)
+
+
+def _upsample_tconv_kernel(w: jax.Array) -> jax.Array:
+    """Collapse a 3x3 kernel (HWIO) into the 4x4 stride-2 transposed-conv
+    kernel of the exact nearest-x2+conv3 decomposition. Per axis the four
+    taps are [w0, w0+w1, w1+w2, w2]: output row 2i+a with lhs_dilation=2,
+    padding=2 reads x[(2i+a+s-2)/2] at even (a=0: s∈{0,2}) or odd
+    (a=1: s∈{1,3}) taps — matching the phase sums of
+    ``_upsample_phase_kernel``."""
+    rows = jnp.stack([w[0], w[0] + w[1], w[1] + w[2], w[2]], axis=0)
+    return jnp.stack([rows[:, 0], rows[:, 0] + rows[:, 1],
+                      rows[:, 1] + rows[:, 2], rows[:, 2]], axis=1)
+
+
 class Upsample(nn.Module):
-    """Nearest x2 then 3x3 conv (reference unet.py:66-74)."""
+    """Nearest x2 then 3x3 conv (reference unet.py:66-74).
+
+    Two exact reformulations that never materialize the 4x-size
+    nearest-upsampled tensor (tests/test_ops.py::test_upsample_*_parity):
+
+    mode 'd2s2': one 2x2-kernel VALID conv on the 1px-padded low-res
+    input producing 4*dim phase channels, then a shifted interleave
+    (2.25x fewer MACs but the interleave epilogue is relayout-heavy).
+
+    mode 'tconv': a stride-2 transposed conv — lhs_dilation=(2,2) with a
+    4x4 kernel built from the 3x3 by per-axis phase sums. XLA-native, no
+    epilogue; measured 2.7-2.9x faster than the dense formulation in
+    isolation (tools/ups_lab.py)."""
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    mode: str = ""
 
     @nn.compact
     def __call__(self, x):
-        return nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
-                       name="conv")(nearest_up2(x))
+        if self.mode == "":
+            return nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
+                           name="conv")(nearest_up2(x))
+        kernel, bias = _Conv3Params(self.dim, x.shape[-1], name="conv")()
+        if self.mode == "tconv":
+            k4 = _upsample_tconv_kernel(kernel).astype(self.dtype)
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), k4, window_strides=(1, 1),
+                padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y + bias.astype(self.dtype)
+        k2 = _upsample_phase_kernel(kernel).astype(self.dtype)
+        xp = jnp.pad(x.astype(self.dtype),
+                     ((0, 0), (1, 1), (1, 1), (0, 0)))
+        z = jax.lax.conv_general_dilated(
+            xp, k2, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (b,h+1,w+1,4co)
+        co = self.dim
+        b_, h1, w1, _ = z.shape
+        h, w = h1 - 1, w1 - 1
+        # y[2i+a, 2j+b] = z[i+a, j+b, phase(a,b)]
+        z00 = z[:, :-1, :-1, :co]
+        z01 = z[:, :-1, 1:, co:2 * co]
+        z10 = z[:, 1:, :-1, 2 * co:3 * co]
+        z11 = z[:, 1:, 1:, 3 * co:]
+        y = jnp.stack([z00, z01, z10, z11], axis=-2)      # (b,h,w,4,co)
+        y = y.reshape(b_, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(b_, 2 * h, 2 * w, co)
+        return y + bias.astype(self.dtype)
 
 
 class FastDiffSRUNet(nn.Module):
@@ -240,6 +330,7 @@ class FastDiffSRUNet(nn.Module):
     with_noise_level_emb: bool = True
     dtype: jnp.dtype = jnp.float32
     fused_norm: str = ""
+    upsample_mode: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array, noise_level: jax.Array, *,
@@ -318,7 +409,8 @@ class FastDiffSRUNet(nn.Module):
                 idx += 1
                 pre = ch
             if not is_last:
-                x = Upsample(pre, dtype=self.dtype, name=f"ups_{idx}")(x)
+                x = Upsample(pre, dtype=self.dtype, mode=self.upsample_mode,
+                             name=f"ups_{idx}")(x)
                 idx += 1
 
         out = Block(self.out_channel, groups=self.norm_groups,
@@ -342,4 +434,27 @@ def unet_from_config(unet_opt: dict, dtype=jnp.float32) -> FastDiffSRUNet:
         dropout=unet_opt.get("dropout", 0.0),
         dtype=dtype,
         fused_norm=default_fused_norm(),
+        upsample_mode=default_upsample_mode(),
     )
+
+
+def default_upsample_mode() -> str:
+    """Upsample-block mode from the environment.
+
+    FASTDIFFSR_TPU_UPSAMPLE: 'tconv' (default — exact stride-2 transposed
+    conv, +7% end-to-end sampler throughput on v5e, see Upsample
+    docstring), 'dense' (nearest x2 + dense 3x3 conv, the literal
+    reference formulation), or 'd2s2' (exact 2x2-phase decomposition;
+    measured slower end-to-end, kept for other hardware/XLA versions).
+    All three are mathematically identical with the same parameter tree
+    (tests/test_ops.py::test_upsample_mode_parity).
+    """
+    import os
+    mode = os.environ.get("FASTDIFFSR_TPU_UPSAMPLE", "tconv")
+    if mode == "dense":
+        return ""
+    if mode not in ("", "d2s2", "tconv"):
+        raise ValueError(
+            f"FASTDIFFSR_TPU_UPSAMPLE={mode!r} "
+            "(want 'tconv', 'dense' or 'd2s2')")
+    return mode

@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .unet_fastdiffsr import (Block, Downsample, Upsample, positional_encoding,
+from .unet_fastdiffsr import (Block, Downsample, Upsample,
+                              default_upsample_mode, positional_encoding,
                               swish)
 
 
@@ -129,6 +130,7 @@ class SR3UNet(nn.Module):
     with_time_emb: bool = True
     image_size: int = 128
     dtype: jnp.dtype = jnp.float32
+    upsample_mode: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array, time: jax.Array, *,
@@ -207,7 +209,9 @@ class SR3UNet(nn.Module):
                 idx += 1
                 pre = ch
             if not is_last:
-                x = Upsample(pre, dtype=self.dtype, name=f"ups_{idx}")(x)
+                x = Upsample(pre, dtype=self.dtype,
+                             mode=self.upsample_mode,
+                             name=f"ups_{idx}")(x)
                 idx += 1
                 now_res *= 2
 
@@ -231,4 +235,5 @@ def sr3_unet_from_config(unet_opt: dict, image_size: int = 128,
         dropout=unet_opt.get("dropout", 0.0),
         image_size=image_size,
         dtype=dtype,
+        upsample_mode=default_upsample_mode(),
     )

@@ -166,3 +166,48 @@ def test_gn_swish_dot_matches_reference():
     g_ref = jax.grad(lambda xx: jnp.sum(_gn_swish_reference(
         xx, scale, bias, 4, 1e-5) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["d2s2", "tconv"])
+def test_upsample_mode_parity(mode):
+    """Reformulated Upsample ('d2s2' 2x2-phase conv + shifted interleave;
+    'tconv' stride-2 transposed conv) must equal the literal nearest-x2 +
+    3x3-conv formulation exactly (same params, identical tree), including
+    odd sizes/borders."""
+    from fastdiffsr_tpu.models.unet_fastdiffsr import Upsample
+
+    rng = jax.random.PRNGKey(7)
+    for (h, w, c) in [(8, 8, 16), (5, 7, 8)]:
+        x = jax.random.normal(jax.random.fold_in(rng, h), (2, h, w, c))
+        dense = Upsample(c)
+        params = dense.init(jax.random.fold_in(rng, 1), x)
+        want = dense.apply(params, x)
+        got = Upsample(c, mode=mode).apply(params, x)
+        assert want.shape == got.shape == (2, 2 * h, 2 * w, c)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-6)
+    # and the reformulated init creates the identical parameter tree
+    p2 = Upsample(8, mode=mode).init(
+        rng, jnp.zeros((1, 4, 4, 8)))
+    p1 = Upsample(8).init(rng, jnp.zeros((1, 4, 4, 8)))
+    assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(p2)
+    assert [x.shape for x in jax.tree_util.tree_leaves(p1)] == \
+           [x.shape for x in jax.tree_util.tree_leaves(p2)]
+
+
+@pytest.mark.parametrize("mode", ["d2s2", "tconv"])
+def test_unet_upsample_mode_parity(mode):
+    """Whole-UNet forward: reformulated upsample_mode must match the
+    default graph up to f32 accumulation order with shared params."""
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    rng = jax.random.PRNGKey(3)
+    kw = dict(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+              res_blocks=1, dropout=0.0)
+    x = jax.random.normal(rng, (2, 16, 16, 6))
+    lvl = jnp.array([0.7, 0.3])
+    net = FastDiffSRUNet(**kw)
+    params = net.init(rng, x, lvl)
+    want = net.apply(params, x, lvl)
+    got = FastDiffSRUNet(**kw, upsample_mode=mode).apply(params, x, lvl)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
