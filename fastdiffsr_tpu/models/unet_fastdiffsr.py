@@ -71,8 +71,32 @@ def positional_encoding(noise_level: jax.Array, dim: int) -> jax.Array:
     return jnp.concatenate([jnp.sin(enc), jnp.cos(enc)], axis=-1)
 
 
+class _GNParams(nn.Module):
+    """GroupNorm parameter holder: same tree path/shapes/init as the
+    ``nn.GroupNorm`` it replaces ('scale'/'bias' of (C,))."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones,
+                           (self.features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return scale, bias
+
+
 class Block(nn.Module):
-    """GroupNorm -> Swish -> Dropout -> 3x3 Conv (reference unet.py:89-101)."""
+    """GroupNorm -> Swish -> Dropout -> 3x3 Conv (reference unet.py:89-101).
+
+    ``x`` may be a 2-tuple ``(a, b)`` meaning the channel-concat of the
+    parts without materializing it: GroupNorm over a concat is exactly
+    separable per part when the group size divides each part's width
+    (every group then lies wholly inside one part), and
+    conv(concat(a,b), W) = conv(a, W[:, :, :ca]) + conv(b, W[:, :, ca:]).
+    Same parameter tree either way. With dropout active the two parts
+    draw independent masks (distributionally equivalent to the concat
+    formulation, bit-different); parity tests run deterministic."""
 
     dim_out: int
     groups: int = 32
@@ -82,6 +106,29 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        if isinstance(x, tuple):
+            from ..ops.groupnorm import _gn_swish_reference
+            a, b = x
+            ca, cb = a.shape[-1], b.shape[-1]
+            dim = ca + cb
+            g = dim // self.groups
+            scale, bias = _GNParams(dim, name="norm")()
+            kernel, kbias = _Conv3Params(self.dim_out, dim, name="conv")()
+            ha = _gn_swish_reference(a, scale[:ca], bias[:ca], ca // g, 1e-5)
+            hb = _gn_swish_reference(b, scale[ca:], bias[ca:], cb // g, 1e-5)
+            if self.dropout > 0:
+                ha = nn.Dropout(rate=self.dropout,
+                                deterministic=deterministic)(ha)
+                hb = nn.Dropout(rate=self.dropout,
+                                deterministic=deterministic)(hb)
+            dn = ("NHWC", "HWIO", "NHWC")
+            ya = jax.lax.conv_general_dilated(
+                ha.astype(self.dtype), kernel[:, :, :ca].astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+            yb = jax.lax.conv_general_dilated(
+                hb.astype(self.dtype), kernel[:, :, ca:].astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+            return ya + yb + kbias.astype(self.dtype)
         if self.fused_norm:
             h = FusedGNSwish(self.groups, mode=self.fused_norm,
                              name="norm")(x)
@@ -119,6 +166,27 @@ class ResnetBlock(nn.Module):
         h = Block(self.dim_out, groups=self.groups, dropout=self.dropout,
                   dtype=self.dtype, fused_norm=self.fused_norm,
                   name="block2")(h, deterministic=deterministic)
+        if isinstance(x, tuple):
+            # split-skip form (see Block): the 1x1 residual conv on the
+            # unmaterialized concat is the sum of per-part 1x1 convs
+            a, b = x
+            ca = a.shape[-1]
+            if self.dim != self.dim_out:
+                kernel, kbias = _Conv3Params(self.dim_out, self.dim,
+                                             ksize=1, name="res_conv")()
+                dn = ("NHWC", "HWIO", "NHWC")
+                x = (jax.lax.conv_general_dilated(
+                        a.astype(self.dtype),
+                        kernel[:, :, :ca].astype(self.dtype),
+                        (1, 1), "VALID", dimension_numbers=dn)
+                     + jax.lax.conv_general_dilated(
+                        b.astype(self.dtype),
+                        kernel[:, :, ca:].astype(self.dtype),
+                        (1, 1), "VALID", dimension_numbers=dn)
+                     + kbias.astype(self.dtype))
+            else:
+                x = jnp.concatenate([a, b], axis=-1)
+            return h + x
         if self.dim != self.dim_out:
             x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
                         name="res_conv")(x)
@@ -210,17 +278,19 @@ def nearest_up2(x: jax.Array) -> jax.Array:
 
 
 class _Conv3Params(nn.Module):
-    """Bare 3x3-conv parameter holder: same tree path/shapes/init as the
-    ``nn.Conv(dim, (3,3))`` it replaces, so converted checkpoints load
-    identically whichever upsample mode runs the math."""
+    """Bare KxK-conv parameter holder: same tree path/shapes/init as the
+    ``nn.Conv(dim, (K,K))`` it replaces, so converted checkpoints load
+    identically whichever mode runs the math."""
 
     features: int
     in_features: int
+    ksize: int = 3
 
     @nn.compact
     def __call__(self):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (3, 3, self.in_features, self.features),
+                            (self.ksize, self.ksize,
+                             self.in_features, self.features),
                             jnp.float32)
         bias = self.param("bias", nn.initializers.zeros,
                           (self.features,), jnp.float32)
@@ -331,6 +401,7 @@ class FastDiffSRUNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_norm: str = ""
     upsample_mode: str = ""
+    skip_concat: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array, noise_level: jax.Array, *,
@@ -399,13 +470,21 @@ class FastDiffSRUNet(nn.Module):
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
                 skip_ch = feat_channels.pop()
+                dim_in = pre + skip_ch
+                # split-skip form (see Block): exact only when every GN
+                # group lies wholly inside one concat part
+                split_ok = (self.skip_concat == "split"
+                            and not self.fused_norm
+                            and dim_in % self.norm_groups == 0
+                            and pre % (dim_in // self.norm_groups) == 0)
+                xin = ((x, skip) if split_ok
+                       else jnp.concatenate([x, skip], axis=-1))
                 x = ResnetBlockWithAttn(
-                    pre + skip_ch, ch, dropout=self.dropout,
+                    dim_in, ch, dropout=self.dropout,
                     groups=self.norm_groups, with_attn=False,
                     dtype=self.dtype, fused_norm=self.fused_norm,
                     name=f"ups_{idx}")(
-                        jnp.concatenate([x, skip], axis=-1), t,
-                        deterministic=deterministic)
+                        xin, t, deterministic=deterministic)
                 idx += 1
                 pre = ch
             if not is_last:
@@ -435,7 +514,24 @@ def unet_from_config(unet_opt: dict, dtype=jnp.float32) -> FastDiffSRUNet:
         dtype=dtype,
         fused_norm=default_fused_norm(),
         upsample_mode=default_upsample_mode(),
+        skip_concat=default_skip_concat(),
     )
+
+
+def default_skip_concat() -> str:
+    """Up-path skip-concat mode from the environment.
+
+    FASTDIFFSR_TPU_SKIP_CONCAT: '' (materialize jnp.concatenate([x, skip])
+    — the literal reference formulation) or 'split' (never form the
+    concat: GroupNorm params/stats split per part, block1/res_conv convs
+    as per-part convs summed; exact, same parameter tree — see Block).
+    """
+    import os
+    mode = os.environ.get("FASTDIFFSR_TPU_SKIP_CONCAT", "")
+    if mode not in ("", "split"):
+        raise ValueError(
+            f"FASTDIFFSR_TPU_SKIP_CONCAT={mode!r} (want '' or 'split')")
+    return mode
 
 
 def default_upsample_mode() -> str:

@@ -195,6 +195,35 @@ def test_upsample_mode_parity(mode):
            [x.shape for x in jax.tree_util.tree_leaves(p2)]
 
 
+def test_unet_skip_concat_split_parity():
+    """Whole-UNet forward: skip_concat='split' (GN + block1-conv +
+    res_conv computed per concat part, never materializing the up-path
+    concat) must match the default graph with shared params — including
+    a config whose concat halves are unequal (64+128 with 32 groups:
+    group size 6 does NOT divide 64, so that block must fall back to the
+    literal concat)."""
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    rng = jax.random.PRNGKey(5)
+    for kw in [dict(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+                    res_blocks=1, dropout=0.0),
+               dict(inner_channel=64, norm_groups=32, channel_mults=(1, 2),
+                    res_blocks=1, dropout=0.0)]:
+        x = jax.random.normal(rng, (2, 16, 16, 6))
+        lvl = jnp.array([0.7, 0.3])
+        net = FastDiffSRUNet(**kw)
+        params = net.init(rng, x, lvl)
+        want = net.apply(params, x, lvl)
+        split = FastDiffSRUNet(**kw, skip_concat="split")
+        got = split.apply(params, x, lvl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+        # identical parameter tree from the split-side init
+        p2 = split.init(rng, x, lvl)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+
+
 @pytest.mark.parametrize("mode", ["d2s2", "tconv"])
 def test_unet_upsample_mode_parity(mode):
     """Whole-UNet forward: reformulated upsample_mode must match the

@@ -79,7 +79,7 @@ def main():
 
     want = set(args.names)
     for ln in lines:
-        m = re.search(r"%([\w.\-]+?fusion[\w.]*) = ", ln)
+        m = re.search(r"%([\w.\-]*?fusion[\w.]*) = ", ln)
         if not m:
             continue
         name = m.group(1)
