@@ -50,9 +50,11 @@ def build(opt):
     setting = opt["network_G"]["setting"] or {}
     if which == "ConditionalUNet":
         from ..models.cond_unet import ConditionalUNet
+        from ..models.unet_fastdiffsr import default_upsample_mode
         net = ConditionalUNet(
             in_nc=setting.get("in_nc", 3), out_nc=setting.get("out_nc", 3),
-            nf=setting.get("nf", 64), depth=setting.get("depth", 4))
+            nf=setting.get("nf", 64), depth=setting.get("depth", 4),
+            upsample_mode=default_upsample_mode())
     else:
         net = nafnet_from_config(setting)
 

@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .nafnet import channel_layer_norm, sinusoidal_pos_emb
-from .unet_fastdiffsr import nearest_up2
+from .unet_fastdiffsr import (_Conv3Params, apply_upsample2_conv3,
+                              nearest_up2)
 
 
 class CondResBlock(nn.Module):
@@ -84,6 +85,7 @@ class ConditionalUNet(nn.Module):
     depth: int = 4
     upscale: int = 1  # accepted for config parity; unused (reference too)
     dtype: jnp.dtype = jnp.float32
+    upsample_mode: str = ""  # '' literal / 'tconv' / 'd2s2' (see Upsample)
 
     @nn.compact
     def __call__(self, xt, cond, time, *, deterministic: bool = True):
@@ -145,9 +147,16 @@ class ConditionalUNet(nn.Module):
                                 name=f"up_{i}_attn")(x)
             if i != 0:
                 # module_util.Upsample's conv is a plain Conv2d (bias=True)
-                x = nn.Conv(dim_in, (3, 3), padding=1, use_bias=True,
-                            dtype=self.dtype,
-                            name=f"up_{i}_up")(nearest_up2(x))
+                if self.upsample_mode:
+                    # same param tree as the nn.Conv branch
+                    k, kb = _Conv3Params(dim_in, x.shape[-1],
+                                         name=f"up_{i}_up")()
+                    x = apply_upsample2_conv3(x, k, kb, self.upsample_mode,
+                                              self.dtype)
+                else:
+                    x = nn.Conv(dim_in, (3, 3), padding=1, use_bias=True,
+                                dtype=self.dtype,
+                                name=f"up_{i}_up")(nearest_up2(x))
             else:
                 x = nn.Conv(dim_in, (3, 3), padding=1, use_bias=False,
                             dtype=self.dtype, name=f"up_{i}_up")(x)

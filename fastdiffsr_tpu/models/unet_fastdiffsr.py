@@ -354,31 +354,44 @@ class Upsample(nn.Module):
             return nn.Conv(self.dim, (3, 3), padding=1, dtype=self.dtype,
                            name="conv")(nearest_up2(x))
         kernel, bias = _Conv3Params(self.dim, x.shape[-1], name="conv")()
-        if self.mode == "tconv":
-            k4 = _upsample_tconv_kernel(kernel).astype(self.dtype)
-            y = jax.lax.conv_general_dilated(
-                x.astype(self.dtype), k4, window_strides=(1, 1),
-                padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"))
-            return y + bias.astype(self.dtype)
-        k2 = _upsample_phase_kernel(kernel).astype(self.dtype)
-        xp = jnp.pad(x.astype(self.dtype),
-                     ((0, 0), (1, 1), (1, 1), (0, 0)))
-        z = jax.lax.conv_general_dilated(
-            xp, k2, window_strides=(1, 1), padding="VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (b,h+1,w+1,4co)
-        co = self.dim
-        b_, h1, w1, _ = z.shape
-        h, w = h1 - 1, w1 - 1
-        # y[2i+a, 2j+b] = z[i+a, j+b, phase(a,b)]
-        z00 = z[:, :-1, :-1, :co]
-        z01 = z[:, :-1, 1:, co:2 * co]
-        z10 = z[:, 1:, :-1, 2 * co:3 * co]
-        z11 = z[:, 1:, 1:, 3 * co:]
-        y = jnp.stack([z00, z01, z10, z11], axis=-2)      # (b,h,w,4,co)
-        y = y.reshape(b_, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
-        y = y.reshape(b_, 2 * h, 2 * w, co)
-        return y + bias.astype(self.dtype)
+        return apply_upsample2_conv3(x, kernel, bias, self.mode, self.dtype)
+
+
+def apply_upsample2_conv3(x, kernel, bias, mode: str, dtype) -> jax.Array:
+    """nearest-x2 + 3x3-conv given the raw (3,3,ci,co) HWIO kernel and
+    (co,) bias, computed in the chosen exact formulation ('tconv',
+    'd2s2', or '' for the literal dense form) — see Upsample."""
+    if mode == "":
+        y = jax.lax.conv_general_dilated(
+            nearest_up2(x).astype(dtype), kernel.astype(dtype), (1, 1),
+            ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dtype)
+    if mode == "tconv":
+        k4 = _upsample_tconv_kernel(kernel).astype(dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype), k4, window_strides=(1, 1),
+            padding=((2, 2), (2, 2)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y + bias.astype(dtype)
+    assert mode == "d2s2", mode
+    co = kernel.shape[-1]
+    k2 = _upsample_phase_kernel(kernel).astype(dtype)
+    xp = jnp.pad(x.astype(dtype),
+                 ((0, 0), (1, 1), (1, 1), (0, 0)))
+    z = jax.lax.conv_general_dilated(
+        xp, k2, window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))   # (b,h+1,w+1,4co)
+    b_, h1, w1, _ = z.shape
+    h, w = h1 - 1, w1 - 1
+    # y[2i+a, 2j+b] = z[i+a, j+b, phase(a,b)]
+    z00 = z[:, :-1, :-1, :co]
+    z01 = z[:, :-1, 1:, co:2 * co]
+    z10 = z[:, 1:, :-1, 2 * co:3 * co]
+    z11 = z[:, 1:, 1:, 3 * co:]
+    y = jnp.stack([z00, z01, z10, z11], axis=-2)      # (b,h,w,4,co)
+    y = y.reshape(b_, h, w, 2, 2, co).transpose(0, 1, 3, 2, 4, 5)
+    y = y.reshape(b_, 2 * h, 2 * w, co)
+    return y + bias.astype(dtype)
 
 
 class FastDiffSRUNet(nn.Module):

@@ -63,19 +63,31 @@ class GuidedResBlock(nn.Module):
     up: bool = False
     down: bool = False
     dtype: jnp.dtype = jnp.float32
+    upsample_mode: str = ""  # '' literal / 'tconv' / 'd2s2' (see Upsample)
 
     @nn.compact
     def __call__(self, x, emb, *, deterministic: bool = True):
         h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="in_norm")(x)
         h = jax.nn.silu(h)
-        if self.up:
-            h = _nearest_up2(h)
+        if self.up and self.upsample_mode:
+            # conv3(nearest_up2(h)) without the 4x intermediate; the
+            # identity/1x1 skip path still needs the upsampled x itself
+            from .unet_fastdiffsr import (_Conv3Params,
+                                          apply_upsample2_conv3)
+            k, kb = _Conv3Params(self.out_channels, h.shape[-1],
+                                 name="in_conv")()
+            h = apply_upsample2_conv3(h, k, kb, self.upsample_mode,
+                                      self.dtype)
             x = _nearest_up2(x)
-        elif self.down:
-            h = _avg_pool2(h)
-            x = _avg_pool2(x)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="in_conv")(h)
+        else:
+            if self.up:
+                h = _nearest_up2(h)
+                x = _nearest_up2(x)
+            elif self.down:
+                h = _avg_pool2(h)
+                x = _avg_pool2(x)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1,
+                        dtype=self.dtype, name="in_conv")(h)
 
         e = nn.Dense(2 * self.out_channels, dtype=self.dtype,
                      name="emb_dense")(jax.nn.silu(emb))
@@ -147,6 +159,7 @@ class GuidedUNet(nn.Module):
     num_head_channels: int = 64
     use_checkpoint: bool = False
     dtype: jnp.dtype = jnp.float32
+    upsample_mode: str = ""  # '' literal / 'tconv' / 'd2s2' (see Upsample)
 
     @nn.compact
     def __call__(self, x: jax.Array, timesteps: jax.Array, *,
@@ -167,6 +180,7 @@ class GuidedUNet(nn.Module):
         def res(idx_name, cin, cout, up=False, down=False):
             return ResBlockM(cin, cout, mc * 4, dropout=self.dropout,
                              up=up, down=down, dtype=self.dtype,
+                             upsample_mode=self.upsample_mode,
                              name=idx_name)
 
         attn_res = tuple(self.attention_resolutions)
@@ -249,4 +263,10 @@ def guided_unet_from_config(unet_opt: dict, image_size: int = 256,
         dropout=unet_opt.get("dropout", 0.0),
         use_checkpoint=use_checkpoint,
         dtype=dtype,
+        upsample_mode=_default_upsample_mode(),
     )
+
+
+def _default_upsample_mode() -> str:
+    from .unet_fastdiffsr import default_upsample_mode
+    return default_upsample_mode()

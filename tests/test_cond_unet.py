@@ -152,3 +152,28 @@ def test_cond_unet_matches_torch():
                                   deterministic=True))
     assert out_f.shape == out_t.shape
     np.testing.assert_allclose(out_f, out_t, atol=3e-4, rtol=1e-3)
+
+
+def test_cond_unet_upsample_mode_parity():
+    """upsample_mode='tconv' (exact stride-2 transposed-conv Upsample)
+    must match the literal nearest-x2+conv3 graph with shared params."""
+    rng = np.random.default_rng(2)
+    xt = rng.uniform(-1, 1, (2, 12, 12, 3)).astype(np.float32)
+    cond = rng.uniform(-1, 1, (2, 12, 12, 3)).astype(np.float32)
+    t = np.array([3.0, 50.0], np.float32)
+
+    import jax
+    dense = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2)
+    params = dense.init(jax.random.PRNGKey(0), jnp.asarray(xt),
+                        jnp.asarray(cond), jnp.asarray(t))
+    want = dense.apply(params, jnp.asarray(xt), jnp.asarray(cond),
+                       jnp.asarray(t), deterministic=True)
+    tconv = ConditionalUNet(in_nc=3, out_nc=3, nf=8, depth=2,
+                            upsample_mode="tconv")
+    got = tconv.apply(params, jnp.asarray(xt), jnp.asarray(cond),
+                      jnp.asarray(t), deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    p2 = tconv.init(jax.random.PRNGKey(0), jnp.asarray(xt),
+                    jnp.asarray(cond), jnp.asarray(t))
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))

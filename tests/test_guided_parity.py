@@ -79,3 +79,26 @@ def test_guided_converter_structure_matches_init():
     ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, ref)
     got_shapes = jax.tree_util.tree_map(lambda a: a.shape, params)
     assert ref_shapes == got_shapes
+
+
+def test_guided_unet_upsample_mode_parity():
+    """upsample_mode='tconv' (exact stride-2 transposed conv replacing
+    conv3(nearest_up2(h)) in the up-resblocks) must match the literal
+    graph with shared params, and create the identical parameter tree."""
+    import jax
+
+    kw = dict(image_size=32, in_channel=6, model_channels=32,
+              out_channel=3, res_blocks=1, attention_resolutions=(8,),
+              channel_mults=(1, 2), num_head_channels=16)
+    rng = jax.random.PRNGKey(11)
+    x = jax.random.normal(rng, (2, 16, 16, 6))
+    t = jnp.array([3.0, 70.0])
+    dense = GuidedUNet(**kw)
+    params = dense.init(rng, x, t)
+    want = dense.apply(params, x, t)
+    tconv = GuidedUNet(**kw, upsample_mode="tconv")
+    got = tconv.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    p2 = tconv.init(rng, x, t)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
