@@ -44,22 +44,27 @@ def bench_full():
     from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
                                           ScheduleBuffers)
     from fastdiffsr_tpu.models import FastDiffSRUNet
+    from fastdiffsr_tpu.models.unet_fastdiffsr import (default_skip_concat,
+                                                       default_upsample_mode)
     from fastdiffsr_tpu.models.unet_sr3 import SR3UNet
     from fastdiffsr_tpu.train import make_sample_fn
 
+    ups = default_upsample_mode()
     rng = jax.random.PRNGKey(0)
     B, H, W = 8, 256, 256
     rows = []
     for name, variant, T, net in [
-        ("fastdiffsr", "fastdiffsr", 20, FastDiffSRUNet(dtype=jnp.bfloat16)),
+        ("fastdiffsr", "fastdiffsr", 20,
+         FastDiffSRUNet(dtype=jnp.bfloat16, upsample_mode=ups,
+                        skip_concat=default_skip_concat())),
         ("ddpm", "ddpm", 1000,
          SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
                  attn_res=(16,), res_blocks=2, image_size=256,
-                 dtype=jnp.bfloat16)),
+                 dtype=jnp.bfloat16, upsample_mode=ups)),
         ("tesr", "tesr", 2000,
          SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
                  attn_res=(16,), res_blocks=2, image_size=256,
-                 dtype=jnp.bfloat16)),
+                 dtype=jnp.bfloat16, upsample_mode=ups)),
     ]:
         sched = ("linear_cosine" if variant == "fastdiffsr" else "linear")
         engine = DiffusionEngine(
@@ -108,7 +113,11 @@ def bench_train():
         DiffusionSpec.for_variant("fastdiffsr"),
         ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
-    net = FastDiffSRUNet(dtype=jnp.bfloat16)
+    from fastdiffsr_tpu.models.unet_fastdiffsr import (
+        default_skip_concat, default_upsample_mode)
+    net = FastDiffSRUNet(dtype=jnp.bfloat16,
+                         upsample_mode=default_upsample_mode(),
+                         skip_concat=default_skip_concat())
     rng = jax.random.PRNGKey(0)
 
     for B in (4, 32):
@@ -157,7 +166,11 @@ def bench_latency():
         DiffusionSpec.for_variant("fastdiffsr"),
         ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
-    net = FastDiffSRUNet(dtype=jnp.bfloat16)
+    from fastdiffsr_tpu.models.unet_fastdiffsr import (
+        default_skip_concat, default_upsample_mode)
+    net = FastDiffSRUNet(dtype=jnp.bfloat16,
+                         upsample_mode=default_upsample_mode(),
+                         skip_concat=default_skip_concat())
     rng = jax.random.PRNGKey(0)
     H = W = 256
     params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]
