@@ -206,8 +206,12 @@ def main():
 
     backend = jax.default_backend()
     # batch size per chip: v5e has 16 GB HBM; 256x256x6 activations through
-    # the UNet at bf16 fit comfortably at 16.
+    # the UNet at bf16 fit comfortably at 16 (sweep knee, BASELINE.md).
+    # Override with --batch N for sweeps.
+    import sys
     B, H, W = 16, 256, 256
+    if "--batch" in sys.argv:
+        B = int(sys.argv[sys.argv.index("--batch") + 1])
 
     engine = DiffusionEngine(
         DiffusionSpec.for_variant("fastdiffsr"),
