@@ -41,8 +41,12 @@ def main():
         ScheduleBuffers.create({"schedule": "linear_cosine",
                                 "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
+    from fastdiffsr_tpu.models.unet_fastdiffsr import (default_skip_concat,
+                                                       default_upsample_mode)
     net = FastDiffSRUNet(dtype=jnp.bfloat16,
-                         fused_norm=default_fused_norm())
+                         fused_norm=default_fused_norm(),
+                         upsample_mode=default_upsample_mode(),
+                         skip_concat=default_skip_concat())
     rng = jax.random.PRNGKey(0)
     params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]
 
