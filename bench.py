@@ -32,6 +32,33 @@ REF_IMAGES_PER_SEC_EST = 2.0
 REF_LATENCY_SEC_EST = 1.0 / REF_IMAGES_PER_SEC_EST
 
 
+def build_flagship_net():
+    """The benched FastDiffSR UNet with every env-selected mode applied
+    (FASTDIFFSR_TPU_FUSED_NORM / _UPSAMPLE / _SKIP_CONCAT) — one builder
+    so every bench mode measures the same graph as the CLIs."""
+    import jax.numpy as jnp
+
+    from fastdiffsr_tpu.models import FastDiffSRUNet
+    from fastdiffsr_tpu.models.unet_fastdiffsr import (default_skip_concat,
+                                                       default_upsample_mode)
+    from fastdiffsr_tpu.ops.groupnorm import default_fused_norm
+    return FastDiffSRUNet(dtype=jnp.bfloat16,
+                          fused_norm=default_fused_norm(),
+                          upsample_mode=default_upsample_mode(),
+                          skip_concat=default_skip_concat())
+
+
+def arg_batch(default):
+    """--batch N override (default-mode throughput and --train)."""
+    import sys
+    if "--batch" not in sys.argv:
+        return default
+    i = sys.argv.index("--batch")
+    if i + 1 >= len(sys.argv):
+        raise SystemExit("--batch requires a value")
+    return int(sys.argv[i + 1])
+
+
 def bench_full():
     """Speedup-vs-quality table: FastDiffSR T=20 vs the DDPM baseline's
     T=1000 ancestral sampling (the reference's headline comparison,
@@ -43,9 +70,7 @@ def bench_full():
 
     from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
                                           ScheduleBuffers)
-    from fastdiffsr_tpu.models import FastDiffSRUNet
-    from fastdiffsr_tpu.models.unet_fastdiffsr import (default_skip_concat,
-                                                       default_upsample_mode)
+    from fastdiffsr_tpu.models.unet_fastdiffsr import default_upsample_mode
     from fastdiffsr_tpu.models.unet_sr3 import SR3UNet
     from fastdiffsr_tpu.train import make_sample_fn
 
@@ -54,9 +79,7 @@ def bench_full():
     B, H, W = 8, 256, 256
     rows = []
     for name, variant, T, net in [
-        ("fastdiffsr", "fastdiffsr", 20,
-         FastDiffSRUNet(dtype=jnp.bfloat16, upsample_mode=ups,
-                        skip_concat=default_skip_concat())),
+        ("fastdiffsr", "fastdiffsr", 20, build_flagship_net()),
         ("ddpm", "ddpm", 1000,
          SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
                  attn_res=(16,), res_blocks=2, image_size=256,
@@ -113,14 +136,11 @@ def bench_train():
         DiffusionSpec.for_variant("fastdiffsr"),
         ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
-    from fastdiffsr_tpu.models.unet_fastdiffsr import (
-        default_skip_concat, default_upsample_mode)
-    net = FastDiffSRUNet(dtype=jnp.bfloat16,
-                         upsample_mode=default_upsample_mode(),
-                         skip_concat=default_skip_concat())
+    net = build_flagship_net()
     rng = jax.random.PRNGKey(0)
 
-    for B in (4, 32):
+    override = arg_batch(None)
+    for B in ((override,) if override else (4, 32)):
         H = W = 256
         params = net.init(rng, jnp.zeros((1, H, W, 6)),
                           jnp.ones((1,)))["params"]
@@ -166,11 +186,7 @@ def bench_latency():
         DiffusionSpec.for_variant("fastdiffsr"),
         ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
-    from fastdiffsr_tpu.models.unet_fastdiffsr import (
-        default_skip_concat, default_upsample_mode)
-    net = FastDiffSRUNet(dtype=jnp.bfloat16,
-                         upsample_mode=default_upsample_mode(),
-                         skip_concat=default_skip_concat())
+    net = build_flagship_net()
     rng = jax.random.PRNGKey(0)
     H = W = 256
     params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]
@@ -208,20 +224,13 @@ def main():
     # batch size per chip: v5e has 16 GB HBM; 256x256x6 activations through
     # the UNet at bf16 fit comfortably at 16 (sweep knee, BASELINE.md).
     # Override with --batch N for sweeps.
-    import sys
-    B, H, W = 16, 256, 256
-    if "--batch" in sys.argv:
-        B = int(sys.argv[sys.argv.index("--batch") + 1])
+    B, H, W = arg_batch(16), 256, 256
 
     engine = DiffusionEngine(
         DiffusionSpec.for_variant("fastdiffsr"),
         ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
-    from fastdiffsr_tpu.models.unet_fastdiffsr import (default_skip_concat,
-                                                       default_upsample_mode)
-    net = FastDiffSRUNet(dtype=jnp.bfloat16, fused_norm=default_fused_norm(),
-                         upsample_mode=default_upsample_mode(),
-                         skip_concat=default_skip_concat())
+    net = build_flagship_net()
 
     rng = jax.random.PRNGKey(0)
     params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]

@@ -419,6 +419,9 @@ class FastDiffSRUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, noise_level: jax.Array, *,
                  deterministic: bool = True) -> jax.Array:
+        if self.skip_concat not in ("", "split"):
+            raise ValueError(
+                f"skip_concat={self.skip_concat!r} (want '' or 'split')")
         if noise_level.ndim == 2:
             noise_level = noise_level[:, 0]
         x = x.astype(self.dtype)

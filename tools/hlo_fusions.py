@@ -4,7 +4,7 @@ TPU target and print, for each requested fusion, its instruction line
 dot) of its called computation. Pairs with tools/xplane_ops.py:
 
     python tools/hlo_fusions.py convert_reduce_fusion.135 fusion.1589 ...
-    python tools/hlo_fusions.py --all-over 1.0   # all fusions, sorted dump
+    python tools/hlo_fusions.py --all            # dump every fusion
 """
 
 import argparse
@@ -19,11 +19,9 @@ def build_compiled():
     import jax
     import jax.numpy as jnp
 
+    from bench import build_flagship_net
     from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
                                           ScheduleBuffers)
-    from fastdiffsr_tpu.models import FastDiffSRUNet
-    from fastdiffsr_tpu.models.unet_fastdiffsr import default_upsample_mode
-    from fastdiffsr_tpu.ops.groupnorm import default_fused_norm
     from fastdiffsr_tpu.train import make_sample_fn
 
     B, H, W = 16, 256, 256
@@ -31,8 +29,7 @@ def build_compiled():
         DiffusionSpec.for_variant("fastdiffsr"),
         ScheduleBuffers.create({"schedule": "linear_cosine", "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
-    net = FastDiffSRUNet(dtype=jnp.bfloat16, fused_norm=default_fused_norm(),
-                         upsample_mode=default_upsample_mode())
+    net = build_flagship_net()
     rng = jax.random.PRNGKey(0)
     cond = jnp.zeros((B, H, W, 3), jnp.float32)
     params = net.init(rng, jnp.zeros((1, H, W, 6), jnp.float32),
@@ -48,10 +45,9 @@ def build_compiled():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
-    ap.add_argument("--all-over", type=float, default=None,
-                    help="list every fusion whose instruction line is "
-                    "printed (no filter); value unused, presence flags mode")
-    ap.add_argument("--context", type=int, default=0)
+    ap.add_argument("--all", action="store_true",
+                    help="dump every fusion (file order) instead of "
+                    "only the named ones")
     args = ap.parse_args()
 
     compiled = build_compiled()
@@ -85,7 +81,7 @@ def main():
         name = m.group(1)
         if want and name not in want:
             continue
-        if not want and args.all_over is None:
+        if not want and not args.all:
             continue
         print("=" * 100)
         print(ln.strip()[:4000])

@@ -2,15 +2,16 @@
 
 The sampler's three Upsample blocks (paper config, batch 16) run at
 32² C256, 64² C256, 128² C128. Variants (all mathematically identical,
-see unet_fastdiffsr.Upsample / test_ops.py::test_upsample_d2s2_parity):
+see unet_fastdiffsr.Upsample):
 
-  dense  nearest_up2 then dense 3x3 SAME conv (what ships)
+  dense  nearest_up2 then dense 3x3 SAME conv (the literal form)
   d2s2   2x2-phase VALID conv on the padded low-res input (4*C out
          channels) + shifted-slice interleave (2.25x fewer MACs)
   tconv  stride-2 transposed conv: lhs_dilation=(2,2), 4x4 kernel built
          from the 3x3 by the phase row/col sums [w0, w0+w1, w1+w2, w2]
-         (XLA-native, no interleave epilogue; 16/36 the taps are nonzero
-         but XLA sees a dense 4x4 on a dilated input)
+         (XLA-native, no interleave epilogue; now the shipped default)
+
+Parity coverage: tests/test_ops.py::test_upsample_mode_parity.
 
 Timing: N chained calls inside one jitted program (scalar data
 dependence links the 2x-size output back to the fixed input), hard
@@ -40,8 +41,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fastdiffsr_tpu.models.unet_fastdiffsr import (_upsample_phase_kernel,
-                                                       nearest_up2)
+    from fastdiffsr_tpu.models.unet_fastdiffsr import (
+        _upsample_phase_kernel, _upsample_tconv_kernel, nearest_up2)
 
     def timeit(f, *xs):
         float(np.asarray(f(*xs)))
@@ -60,11 +61,7 @@ def main():
                                             jnp.bfloat16))
     print(f"RTT+D2H floor: {rtt * 1e3:.2f} ms", flush=True)
 
-    def tconv_kernel(w):
-        """(3,3,ci,co) -> (4,4,ci,co) phase row/col-sum kernel."""
-        rows = jnp.stack([w[0], w[0] + w[1], w[1] + w[2], w[2]], axis=0)
-        return jnp.stack([rows[:, 0], rows[:, 0] + rows[:, 1],
-                          rows[:, 1] + rows[:, 2], rows[:, 2]], axis=1)
+    tconv_kernel = _upsample_tconv_kernel  # time the SHIPPED builder
 
     def dense(x, w):
         return jax.lax.conv_general_dilated(
