@@ -42,10 +42,12 @@ def build_flagship_net():
     from fastdiffsr_tpu.models.unet_fastdiffsr import (default_skip_concat,
                                                        default_upsample_mode)
     from fastdiffsr_tpu.ops.groupnorm import default_fused_norm
+    from fastdiffsr_tpu.ops.quant import default_quant
     return FastDiffSRUNet(dtype=jnp.bfloat16,
                           fused_norm=default_fused_norm(),
                           upsample_mode=default_upsample_mode(),
-                          skip_concat=default_skip_concat())
+                          skip_concat=default_skip_concat(),
+                          quant=default_quant())
 
 
 def arg_batch(default):

@@ -103,6 +103,7 @@ class Block(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     fused_norm: str = ""
+    quant: str = ""  # '' or 'w8a8' (wide stages only; ops/quant.py)
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
@@ -138,6 +139,13 @@ class Block(nn.Module):
             h = swish(h)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        # int8 only where the MXU win exists (>=128² spatial; int8_lab)
+        if self.quant in ("w8a8", "w8a8s") and h.shape[1] >= 128:
+            from ..ops.quant import quant_conv3
+            kernel, kbias = _Conv3Params(self.dim_out, h.shape[-1],
+                                         name="conv")()
+            return quant_conv3(h, kernel, kbias, self.dtype,
+                               static_scale=self.quant == "w8a8s")
         h = nn.Conv(self.dim_out, (3, 3), padding=1, dtype=self.dtype,
                     name="conv")(h)
         return h
@@ -154,17 +162,19 @@ class ResnetBlock(nn.Module):
     groups: int = 32
     dtype: jnp.dtype = jnp.float32
     fused_norm: str = ""
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
-                  fused_norm=self.fused_norm,
+                  fused_norm=self.fused_norm, quant=self.quant,
                   name="block1")(x, deterministic=deterministic)
         shift = nn.Dense(self.dim_out, dtype=self.dtype,
                          name="noise_dense")(noise_emb)
         h = h + shift[:, None, None, :]
         h = Block(self.dim_out, groups=self.groups, dropout=self.dropout,
                   dtype=self.dtype, fused_norm=self.fused_norm,
+                  quant=self.quant,
                   name="block2")(h, deterministic=deterministic)
         if isinstance(x, tuple):
             # split-skip form (see Block): the 1x1 residual conv on the
@@ -243,12 +253,13 @@ class ResnetBlockWithAttn(nn.Module):
     with_attn: bool = False
     dtype: jnp.dtype = jnp.float32
     fused_norm: str = ""
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
         x = ResnetBlock(self.dim, self.dim_out, dropout=self.dropout,
                         groups=self.groups, dtype=self.dtype,
-                        fused_norm=self.fused_norm,
+                        fused_norm=self.fused_norm, quant=self.quant,
                         name="res_block")(x, noise_emb,
                                           deterministic=deterministic)
         if self.with_attn:
@@ -415,6 +426,7 @@ class FastDiffSRUNet(nn.Module):
     fused_norm: str = ""
     upsample_mode: str = ""
     skip_concat: str = ""
+    quant: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array, noise_level: jax.Array, *,
@@ -422,6 +434,9 @@ class FastDiffSRUNet(nn.Module):
         if self.skip_concat not in ("", "split"):
             raise ValueError(
                 f"skip_concat={self.skip_concat!r} (want '' or 'split')")
+        if self.quant not in ("", "w8a8", "w8a8s"):
+            raise ValueError(
+                f"quant={self.quant!r} (want '', 'w8a8' or 'w8a8s')")
         if noise_level.ndim == 2:
             noise_level = noise_level[:, 0]
         x = x.astype(self.dtype)
@@ -456,7 +471,7 @@ class FastDiffSRUNet(nn.Module):
                 x = ResnetBlockWithAttn(
                     pre, ch, dropout=self.dropout, groups=self.norm_groups,
                     with_attn=False, dtype=self.dtype,
-                    fused_norm=self.fused_norm,
+                    fused_norm=self.fused_norm, quant=self.quant,
                     name=f"downs_{idx}")(x, t, deterministic=deterministic)
                 idx += 1
                 feats.append(x)
@@ -472,10 +487,12 @@ class FastDiffSRUNet(nn.Module):
         x = ResnetBlockWithAttn(
             pre, pre, dropout=self.dropout, groups=self.norm_groups,
             with_attn=True, dtype=self.dtype, fused_norm=self.fused_norm,
+            quant=self.quant,
             name="mid_0")(x, t, deterministic=deterministic)
         x = ResnetBlockWithAttn(
             pre, pre, dropout=self.dropout, groups=self.norm_groups,
             with_attn=False, dtype=self.dtype, fused_norm=self.fused_norm,
+            quant=self.quant,
             name="mid_1")(x, t, deterministic=deterministic)
 
         # --- up path with skip-concat ([x, skip] channel order as torch) ---
@@ -499,6 +516,7 @@ class FastDiffSRUNet(nn.Module):
                     dim_in, ch, dropout=self.dropout,
                     groups=self.norm_groups, with_attn=False,
                     dtype=self.dtype, fused_norm=self.fused_norm,
+                    quant=self.quant,
                     name=f"ups_{idx}")(
                         xin, t, deterministic=deterministic)
                 idx += 1
@@ -510,7 +528,7 @@ class FastDiffSRUNet(nn.Module):
 
         out = Block(self.out_channel, groups=self.norm_groups,
                     dtype=self.dtype, fused_norm=self.fused_norm,
-                    name="final_block")(
+                    quant=self.quant, name="final_block")(
                         x, deterministic=deterministic)
         return out.astype(jnp.float32)
 
@@ -531,7 +549,13 @@ def unet_from_config(unet_opt: dict, dtype=jnp.float32) -> FastDiffSRUNet:
         fused_norm=default_fused_norm(),
         upsample_mode=default_upsample_mode(),
         skip_concat=default_skip_concat(),
+        quant=_default_quant(),
     )
+
+
+def _default_quant() -> str:
+    from ..ops.quant import default_quant
+    return default_quant()
 
 
 def default_skip_concat() -> str:
