@@ -247,3 +247,71 @@ def test_ode_sampler_survives_nan_drift():
     assert int(n) == 0          # nothing accepted
     # returned state is the untouched xt (no NaN contamination)
     np.testing.assert_allclose(np.asarray(x), np.asarray(xt))
+
+
+@requires_reference
+def test_irsde_full_reverse_loops_match_reference():
+    """Whole reverse-SDE and reverse-ODE loops (one lax.scan each) vs the
+    torch reference's python loops (sde_utils.py:229-254), with identical
+    dispersion noise injected and an identical parameter-free
+    t-dependent noise model set on both sides."""
+    import torch
+
+    RefIRSDE = _load_ref_sde()
+    T, B = 10, 2
+    ref = RefIRSDE(max_sigma=50, T=T, schedule="cosine", eps=0.005,
+                   device="cpu")
+    sde = IRSDE(IRSDEBuffers.create(max_sigma=50, T=T, schedule="cosine",
+                                    eps=0.005))
+
+    rng = np.random.default_rng(7)
+    shape = (B, 1, 8, 8)  # elementwise math: same layout on both sides
+    mu = rng.uniform(-1, 1, shape).astype(np.float32)
+    xt = rng.uniform(-1, 1, shape).astype(np.float32)
+    noise_seq = rng.standard_normal((T, *shape)).astype(np.float32)
+
+    # output proportional to sigma_bar(t) so score = -noise/sigma_bar
+    # stays O(1): the raw-score trajectory diverges (sigma_bar(1) is
+    # tiny) and amplifies f32 ordering noise past any tolerance
+    class TinyNoiseModel(torch.nn.Module):
+        def forward(self, x, mu_, t):
+            return (0.5 * torch.tanh(x - mu_) * (1 + float(t) / T)
+                    * ref.sigma_bar(t))
+
+    ref.set_mu(torch.from_numpy(mu))
+    ref.set_model(TinyNoiseModel())
+
+    # torch loop draws randn_like once per step, t = T .. 1
+    draws = [noise_seq[t - 1] for t in range(T, 0, -1)]
+    state = {"i": 0}
+    real_randn_like = torch.randn_like
+
+    def fake_randn_like(t):
+        d = draws[state["i"]]
+        state["i"] += 1
+        return torch.from_numpy(d)
+
+    torch.randn_like = fake_randn_like
+    try:
+        with torch.no_grad():
+            out_sde = ref.reverse_sde(torch.from_numpy(xt)).numpy()
+    finally:
+        torch.randn_like = real_randn_like
+    assert state["i"] == T
+    with torch.no_grad():
+        out_ode = ref.reverse_ode(torch.from_numpy(xt)).numpy()
+
+    def noise_fn(x, mu_, tvec):
+        t = tvec[0]
+        sig = sde.b.sigma_bars[t.astype(jnp.int32)]
+        return 0.5 * jnp.tanh(x - mu_) * (1 + t / T) * sig
+
+    ours_sde = np.asarray(sde.reverse_sde(
+        noise_fn, jnp.asarray(xt), jnp.asarray(mu), jax.random.PRNGKey(0),
+        noise_seq=jnp.asarray(noise_seq)))
+    np.testing.assert_allclose(ours_sde, out_sde, atol=2e-5)
+
+    ours_ode = np.asarray(sde.reverse_sde(
+        noise_fn, jnp.asarray(xt), jnp.asarray(mu), jax.random.PRNGKey(0),
+        ode=True))
+    np.testing.assert_allclose(ours_ode, out_ode, atol=2e-5)
