@@ -27,7 +27,7 @@ def main(argv=None):
                              "params (default off for reference parity)")
     args = parser.parse_args(argv)
 
-    from ..config import parse, infer_scale
+    from ..config import parse
     from ..utils.logging import setup_logger
 
     opt = parse(args.config, "val", debug=args.debug)

@@ -10,7 +10,6 @@ programs as constants.
 
 from __future__ import annotations
 
-import dataclasses
 import math
 
 import jax

@@ -194,7 +194,7 @@ def main(argv=None):
 
     from ..parallel import make_mesh, shard_batch, replicated_sharding, \
         batch_sharding
-    from ..train.state import TrainState, create_train_state
+    from ..train.state import create_train_state
     from ..train.checkpoint import save_state, load_state
 
     sde, net, apply_fn = build(opt)

@@ -14,7 +14,6 @@ DenoisingUNet_arch.py:19-135 + module_util.py —
 
 from __future__ import annotations
 
-import math
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,7 @@ its forward — it is dead weight and is not recreated here.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ environment cannot download — omitted and documented.
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ computed in numpy at trace time (static image size after window padding).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import numpy as np

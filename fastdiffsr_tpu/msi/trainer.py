@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import os
 import time
-from typing import Callable, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import optax
 
 from .. import metrics as M
-from ..train.checkpoint import save_state, load_state, load_params_only
+from ..train.checkpoint import save_state, load_state
 from ..train.state import TrainState, create_train_state
 from .data import RGBSRDataset, MSIDataLoader
 

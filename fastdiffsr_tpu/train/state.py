@@ -8,7 +8,7 @@ evaluation can still use raw params for reference parity.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ it runs batched across chips, which is the benchmark path
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, Optional
 
 import jax
