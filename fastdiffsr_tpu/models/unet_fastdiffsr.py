@@ -104,9 +104,30 @@ class Block(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_norm: str = ""
     quant: str = ""  # '' or 'w8a8' (wide stages only; ops/quant.py)
+    # >0: the graph input is concat([skip, x]) while params are stored
+    # for [x, skip]; roll params by in_perm channels (exact when the GN
+    # group size divides the boundary — skip_concat='swap')
+    in_perm: int = 0
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        if self.in_perm:
+            from ..ops.groupnorm import _gn_swish_reference
+            dim = x.shape[-1]
+            scale, bias = _GNParams(dim, name="norm")()
+            kernel, kbias = _Conv3Params(self.dim_out, dim, name="conv")()
+            h = _gn_swish_reference(x, jnp.roll(scale, self.in_perm),
+                                    jnp.roll(bias, self.in_perm),
+                                    self.groups, 1e-5)
+            if self.dropout > 0:
+                h = nn.Dropout(rate=self.dropout,
+                               deterministic=deterministic)(h)
+            return jax.lax.conv_general_dilated(
+                h.astype(self.dtype),
+                jnp.roll(kernel, self.in_perm, axis=2).astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + kbias.astype(self.dtype)
         if isinstance(x, tuple):
             from ..ops.groupnorm import _gn_swish_reference
             a, b = x
@@ -163,11 +184,13 @@ class ResnetBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_norm: str = ""
     quant: str = ""
+    in_perm: int = 0
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
                   fused_norm=self.fused_norm, quant=self.quant,
+                  in_perm=self.in_perm,
                   name="block1")(x, deterministic=deterministic)
         shift = nn.Dense(self.dim_out, dtype=self.dtype,
                          name="noise_dense")(noise_emb)
@@ -176,6 +199,16 @@ class ResnetBlock(nn.Module):
                   dtype=self.dtype, fused_norm=self.fused_norm,
                   quant=self.quant,
                   name="block2")(h, deterministic=deterministic)
+        if self.in_perm:
+            kernel, kbias = _Conv3Params(self.dim_out, self.dim,
+                                         ksize=1, name="res_conv")()
+            x = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                jnp.roll(kernel, self.in_perm, axis=2).astype(self.dtype),
+                (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + kbias.astype(self.dtype)
+            return h + x
         if isinstance(x, tuple):
             # split-skip form (see Block): the 1x1 residual conv on the
             # unmaterialized concat is the sum of per-part 1x1 convs
@@ -254,12 +287,14 @@ class ResnetBlockWithAttn(nn.Module):
     dtype: jnp.dtype = jnp.float32
     fused_norm: str = ""
     quant: str = ""
+    in_perm: int = 0
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
         x = ResnetBlock(self.dim, self.dim_out, dropout=self.dropout,
                         groups=self.groups, dtype=self.dtype,
                         fused_norm=self.fused_norm, quant=self.quant,
+                        in_perm=self.in_perm,
                         name="res_block")(x, noise_emb,
                                           deterministic=deterministic)
         if self.with_attn:
@@ -431,9 +466,10 @@ class FastDiffSRUNet(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, noise_level: jax.Array, *,
                  deterministic: bool = True) -> jax.Array:
-        if self.skip_concat not in ("", "split"):
+        if self.skip_concat not in ("", "split", "swap"):
             raise ValueError(
-                f"skip_concat={self.skip_concat!r} (want '' or 'split')")
+                f"skip_concat={self.skip_concat!r} "
+                "(want '', 'split' or 'swap')")
         if self.quant not in ("", "w8a8", "w8a8s"):
             raise ValueError(
                 f"quant={self.quant!r} (want '', 'w8a8' or 'w8a8s')")
@@ -504,19 +540,23 @@ class FastDiffSRUNet(nn.Module):
                 skip = feats.pop()
                 skip_ch = feat_channels.pop()
                 dim_in = pre + skip_ch
-                # split-skip form (see Block): exact only when every GN
-                # group lies wholly inside one concat part
-                split_ok = (self.skip_concat == "split"
-                            and not self.fused_norm
-                            and dim_in % self.norm_groups == 0
-                            and pre % (dim_in // self.norm_groups) == 0)
+                # split/swap forms (see Block): exact only when every
+                # GN group lies wholly inside one concat part
+                mode_ok = (self.skip_concat in ("split", "swap")
+                           and not self.fused_norm
+                           and dim_in % self.norm_groups == 0
+                           and pre % (dim_in // self.norm_groups) == 0)
+                split_ok = mode_ok and self.skip_concat == "split"
+                swap = skip_ch if (mode_ok
+                                   and self.skip_concat == "swap") else 0
                 xin = ((x, skip) if split_ok
-                       else jnp.concatenate([x, skip], axis=-1))
+                       else jnp.concatenate(
+                           ([skip, x] if swap else [x, skip]), axis=-1))
                 x = ResnetBlockWithAttn(
                     dim_in, ch, dropout=self.dropout,
                     groups=self.norm_groups, with_attn=False,
                     dtype=self.dtype, fused_norm=self.fused_norm,
-                    quant=self.quant,
+                    quant=self.quant, in_perm=swap,
                     name=f"ups_{idx}")(
                         xin, t, deterministic=deterministic)
                 idx += 1
@@ -562,15 +602,19 @@ def default_skip_concat() -> str:
     """Up-path skip-concat mode from the environment.
 
     FASTDIFFSR_TPU_SKIP_CONCAT: '' (materialize jnp.concatenate([x, skip])
-    — the literal reference formulation) or 'split' (never form the
+    — the literal reference formulation), 'split' (never form the
     concat: GroupNorm params/stats split per part, block1/res_conv convs
-    as per-part convs summed; exact, same parameter tree — see Block).
+    as per-part convs summed), or 'swap' (concat([skip, x]) with params
+    rolled inside the graph — probes XLA's emitter choice on the
+    concat-consuming convs). All exact with the same parameter tree —
+    see Block.
     """
     import os
     mode = os.environ.get("FASTDIFFSR_TPU_SKIP_CONCAT", "")
-    if mode not in ("", "split"):
+    if mode not in ("", "split", "swap"):
         raise ValueError(
-            f"FASTDIFFSR_TPU_SKIP_CONCAT={mode!r} (want '' or 'split')")
+            f"FASTDIFFSR_TPU_SKIP_CONCAT={mode!r} "
+            "(want '', 'split' or 'swap')")
     return mode
 
 

@@ -224,6 +224,32 @@ def test_unet_skip_concat_split_parity():
                 == jax.tree_util.tree_structure(p2))
 
 
+def test_unet_skip_concat_swap_parity():
+    """skip_concat='swap' (concat([skip, x]) with params rolled inside
+    the graph) must match the default graph with shared params,
+    including the unequal-halves config whose 64+128 block must fall
+    back (group size 6 does not divide the boundary)."""
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    rng = jax.random.PRNGKey(9)
+    for kw in [dict(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+                    res_blocks=1, dropout=0.0),
+               dict(inner_channel=64, norm_groups=32, channel_mults=(1, 2),
+                    res_blocks=1, dropout=0.0)]:
+        x = jax.random.normal(rng, (2, 16, 16, 6))
+        lvl = jnp.array([0.7, 0.3])
+        net = FastDiffSRUNet(**kw)
+        params = net.init(rng, x, lvl)
+        want = net.apply(params, x, lvl)
+        swap = FastDiffSRUNet(**kw, skip_concat="swap")
+        got = swap.apply(params, x, lvl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+        p2 = swap.init(rng, x, lvl)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+
+
 @pytest.mark.parametrize("mode", ["d2s2", "tconv"])
 def test_unet_upsample_mode_parity(mode):
     """Whole-UNet forward: reformulated upsample_mode must match the
