@@ -334,16 +334,33 @@ def main(argv=None):
         steps_per_epoch = max(len(train_set) // max(bsz, 1), 1)
         if use_cache:
             from ..train import make_cached_train_step
-            raw = train_set.raw_uint8()
+            raw = train_set.raw_uint8(materialize=False)
+            sharding = None
             if mesh is not None:
                 # replicate the tile corpus over the DP mesh; the cached
                 # step shards the assembled batch on the data axis
                 from ..parallel import replicated_sharding
-                repl = replicated_sharding(mesh)
-                device_data = {k: jax.device_put(v, repl)
-                               for k, v in raw.items()}
-            else:
-                device_data = {k: jax.device_put(v) for k, v in raw.items()}
+                sharding = replicated_sharding(mesh)
+
+            upload_chunk = int(os.environ.get(
+                "FASTDIFFSR_TPU_UPLOAD_CHUNK", "1024"))
+
+            def upload(arr, chunk=upload_chunk):
+                # chunked device_put straight off the (possibly mmap)
+                # source: bounds host RSS to one chunk and overlaps disk
+                # reads with tunnel transfers on multi-GB corpora
+                if len(arr) <= chunk:
+                    a = np.asarray(arr)
+                    return (jax.device_put(a, sharding) if sharding
+                            else jax.device_put(a))
+                parts = [jax.device_put(np.asarray(arr[i:i + chunk]),
+                                        sharding) if sharding
+                         else jax.device_put(np.asarray(arr[i:i + chunk]))
+                         for i in range(0, len(arr), chunk)]
+                out = jnp.concatenate(parts, axis=0)
+                return jax.block_until_ready(out)
+
+            device_data = {k: upload(v) for k, v in raw.items()}
             cached_step = make_cached_train_step(
                 eng_train, apply_fn, tx, bsz,
                 ema_decay=float(ema_cfg.get("ema_decay", 0.9999)),

@@ -125,13 +125,20 @@ class LRHRDataset:
     def __len__(self) -> int:
         return self.data_len
 
-    def raw_uint8(self) -> dict:
-        """Stack the whole (truncated-to-data_len) dataset as uint8 arrays
+    def raw_uint8(self, materialize: bool = True) -> dict:
+        """The whole (truncated-to-data_len) dataset as uint8 arrays
         {'HR': (N,r,r,3), 'SR': (N,r,r,3)} — the host-side half of the
-        device-resident dataset mode (train/steps.make_cached_train_step)."""
+        device-resident dataset mode (train/steps.make_cached_train_step).
+
+        With ``materialize=False`` a pack dataset returns the mmap-backed
+        slices instead of host copies, so a chunked device upload never
+        holds the full corpus in host RAM (folder datasets still stack)."""
         if self._pack is not None:
-            return {"SR": np.asarray(self._pack["SR"][:self.data_len]),
-                    "HR": np.asarray(self._pack["HR"][:self.data_len])}
+            view = {"SR": self._pack["SR"][:self.data_len],
+                    "HR": self._pack["HR"][:self.data_len]}
+            if materialize:
+                view = {k: np.asarray(v) for k, v in view.items()}
+            return view
         sr = np.stack([_load_image(p)
                        for p in self.sr_path[:self.data_len]])
         hr = np.stack([_load_image(p)

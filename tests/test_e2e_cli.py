@@ -145,3 +145,38 @@ def test_val_batched_sampler(tiny_run_env, monkeypatch):
 
     assert len(logs[2]) == 3
     assert metric_part(logs[1]) == metric_part(logs[2])
+
+
+def test_train_device_cache_pack_chunked(tiny_run_env, monkeypatch):
+    """Device-resident dataset mode through the CLI with a .npy pack and
+    a chunk size smaller than the corpus, exercising the chunked
+    device_put + on-device concatenate upload path end-to-end."""
+    root, cfg_path = tiny_run_env
+    monkeypatch.chdir(root)
+    monkeypatch.setenv("FASTDIFFSR_TPU_UPLOAD_CHUNK", "2")
+
+    from fastdiffsr_tpu.data.prepare import prepare
+
+    src = root / "src"
+    pack = root / "Pack_8_16"
+    prepare(str(src), str(pack), n_worker=1, sizes=(8, 16), pack=True,
+            verbose=False)
+
+    cfg = json.loads(cfg_path.read_text())
+    cfg["name"] = "e2e_cache_pack"
+    tr = cfg["datasets"]["train"]
+    tr.update({"dataroot": str(pack), "datatype": "pack",
+               "device_cache": True})
+    cfg["datasets"]["val"].update({"dataroot": str(pack),
+                                   "datatype": "pack"})
+    p = root / "cfg_pack.json"
+    p.write_text(json.dumps(cfg))
+
+    from fastdiffsr_tpu.cli.sr_mfe import main
+
+    _clear_loggers()
+    main(["-p", "train", "-c", str(p)])
+    exps = sorted((root / "experiments").iterdir())
+    log = (exps[-1] / "logs" / "train.log").read_text()
+    assert "device-resident dataset: 6 tiles" in log
+    assert "l_pix" in log
