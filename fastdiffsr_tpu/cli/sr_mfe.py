@@ -345,20 +345,34 @@ def main(argv=None):
             upload_chunk = int(os.environ.get(
                 "FASTDIFFSR_TPU_UPLOAD_CHUNK", "1024"))
 
+            def put(a):
+                return (jax.device_put(a, sharding) if sharding
+                        else jax.device_put(a))
+
             def upload(arr, chunk=upload_chunk):
                 # chunked device_put straight off the (possibly mmap)
                 # source: bounds host RSS to one chunk and overlaps disk
-                # reads with tunnel transfers on multi-GB corpora
+                # reads with tunnel transfers on multi-GB corpora.
+                # Fill a preallocated device buffer with DONATED
+                # dynamic_update_slice steps so peak HBM stays at
+                # corpus + one chunk (a jnp.concatenate of the chunks
+                # holds the corpus twice at peak — RESOURCE_EXHAUSTED
+                # on the 8.4 GB Potsdam-scale pack).
                 if len(arr) <= chunk:
-                    a = np.asarray(arr)
-                    return (jax.device_put(a, sharding) if sharding
-                            else jax.device_put(a))
-                parts = [jax.device_put(np.asarray(arr[i:i + chunk]),
-                                        sharding) if sharding
-                         else jax.device_put(np.asarray(arr[i:i + chunk]))
-                         for i in range(0, len(arr), chunk)]
-                out = jnp.concatenate(parts, axis=0)
-                return jax.block_until_ready(out)
+                    return put(np.asarray(arr))
+                shape, dtype = arr.shape, arr.dtype
+                alloc = jax.jit(
+                    lambda: jnp.zeros(shape, dtype),
+                    **({"out_shardings": sharding} if sharding else {}))
+                upd = jax.jit(
+                    lambda b, c, i: jax.lax.dynamic_update_slice(
+                        b, c, (i,) + (0,) * (b.ndim - 1)),
+                    donate_argnums=0)
+                buf = alloc()
+                for i in range(0, len(arr), chunk):
+                    buf = upd(buf, put(np.asarray(arr[i:i + chunk])),
+                              jnp.int32(i))
+                return jax.block_until_ready(buf)
 
             device_data = {k: upload(v) for k, v in raw.items()}
             cached_step = make_cached_train_step(

@@ -150,10 +150,12 @@ def test_val_batched_sampler(tiny_run_env, monkeypatch):
 def test_train_device_cache_pack_chunked(tiny_run_env, monkeypatch):
     """Device-resident dataset mode through the CLI with a .npy pack and
     a chunk size smaller than the corpus, exercising the chunked
-    device_put + on-device concatenate upload path end-to-end."""
+    preallocate-and-fill device upload path end-to-end."""
     root, cfg_path = tiny_run_env
     monkeypatch.chdir(root)
-    monkeypatch.setenv("FASTDIFFSR_TPU_UPLOAD_CHUNK", "2")
+    # 6 tiles at chunk 4 -> one full chunk + one smaller tail chunk
+    # (exercises both fill-step shapes of the preallocated upload)
+    monkeypatch.setenv("FASTDIFFSR_TPU_UPLOAD_CHUNK", "4")
 
     from fastdiffsr_tpu.data.prepare import prepare
 
