@@ -69,6 +69,9 @@ def parse_args(argv=None):
     p.add_argument("--b1", type=float, default=0.9)
     p.add_argument("--b2", type=float, default=0.999)
     p.add_argument("--save_dir", type=str, default="Result")
+    p.add_argument("--log_freq", type=int, default=200,
+                   help="steps between TB/loss_log.txt rows "
+                        "(reference swinir.py:802)")
     p.add_argument("--max_steps", type=int, default=None)
     p.add_argument("--tiny", action="store_true",
                    help="small model variants for smoke/debug runs "

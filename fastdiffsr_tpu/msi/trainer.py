@@ -49,6 +49,14 @@ class SupervisedSRTrainer:
         os.makedirs(self.save_dir, exist_ok=True)
         import logging
         self.logger = logger or logging.getLogger("msi")
+        # reference-parity run logger: TB scalars + loss_log.txt /
+        # val_log.txt rows (utils/logger.py via swinir.py:800-805)
+        from .logger import MSILogger
+        self.model_name = getattr(args, "model_name",
+                                  type(model).__name__)
+        self.run_logger = MSILogger(
+            self.model_name, os.path.join(self.save_dir, "logs"),
+            print_freq=int(getattr(args, "log_freq", 200) or 200))
 
         self.tx = optax.adam(float(getattr(args, "lr", 2e-4)),
                              b1=float(getattr(args, "b1", 0.9)),
@@ -111,6 +119,8 @@ class SupervisedSRTrainer:
         best_psnr = -1.0
         avg_losses = []
         epochs_run = 0
+        log_freq = self.run_logger.print_freq
+        t_start = time.time()
         for epoch in range(num_epochs):
             t0 = time.time()
             losses = []
@@ -120,6 +130,15 @@ class SupervisedSRTrainer:
                     jnp.asarray(batch["HR"]), jax.random.fold_in(rng, step))
                 losses.append(float(loss))
                 step += 1
+                if step % log_freq == 0:
+                    # TB scalar + loss_log.txt row (swinir.py:967,1028)
+                    self.run_logger.scalar_summary("loss_G", losses[-1],
+                                                   step)
+                    self.run_logger.print_format_results("train", {
+                        "epoch": epoch + 1, "iters": step,
+                        "time": time.time() - t_start,
+                        "model": self.model_name,
+                        "loss_G": float(np.mean(losses[-log_freq:]))})
                 if max_steps and step >= max_steps:
                     break
             avg_losses.append(float(np.mean(losses)))
@@ -211,6 +230,13 @@ class SupervisedSRTrainer:
         out = {k: v / max(n, 1) for k, v in agg.items()}
         self.logger.info("validate: " + " ".join(
             f"{k} {v:.4f}" for k, v in out.items()))
+        # val_log.txt row + TB scalars (swinir.py:1230, logger.py:141-143)
+        self.run_logger.print_format_results("val", {
+            "epoch": 0, "iters": int(self.state.step),
+            "time": 0.0, "model": self.model_name, **out})
+        for k, v in out.items():
+            self.run_logger.scalar_summary(f"val/{k}", v,
+                                           int(self.state.step))
         return out
 
     def validate_by_class(self, val_dirs, max_per_class: Optional[int] =

@@ -27,7 +27,7 @@ def msi_env(tmp_path_factory):
 def _args(root):
     return types.SimpleNamespace(
         scale_factor=2, crop_size=16, test_crop_size=16, lr=1e-3,
-        b1=0.9, b2=0.999, num_epochs=1, batch_size=2,
+        b1=0.9, b2=0.999, num_epochs=1, batch_size=2, log_freq=2,
         save_dir=str(root / "Result"))
 
 
@@ -65,6 +65,16 @@ def test_trainer_train_validate(msi_env):
                       save_images=False, save_plots=True)
     assert any(f.startswith("Test_result_")
                for f in os.listdir(tp))
+
+    # reference Logger parity: loss_log.txt row every log_freq steps,
+    # val_log.txt row per validation (utils/logger.py:113-143)
+    logs = os.path.join(tr.save_dir, "logs")
+    loss_log = open(os.path.join(logs, "loss_log.txt")).read()
+    assert "Training Losses" in loss_log
+    assert "loss_G:" in loss_log and "iter:" in loss_log
+    val_log = open(os.path.join(logs, "val_log.txt")).read()
+    assert "Validation Results" in val_log
+    assert "psnr:" in val_log and "dataset: SwinIR" in val_log
 
 
 def test_trainer_single_image(msi_env):
