@@ -33,6 +33,17 @@ def parse_options(path: str, is_train: bool = True,
     if is_train:
         experiments_root = os.path.join(root, "experiments", name)
         opt.setdefault("path", {})
+        # fresh (non-resume) training archives a pre-existing experiment
+        # dir instead of mixing runs (reference train.py:96-100 →
+        # file_utils.mkdir_and_rename:56-63)
+        if (not opt["path"].get("resume_state")
+                and os.path.isdir(experiments_root)
+                and os.listdir(experiments_root)):
+            import time
+            new_name = (experiments_root + "_archived_"
+                        + time.strftime("%y%m%d-%H%M%S"))
+            print(f"Path already exists. Rename it to [{new_name}]")
+            os.rename(experiments_root, new_name)
         opt["path"]["experiments_root"] = experiments_root
         opt["path"]["models"] = os.path.join(experiments_root, "models")
         opt["path"]["training_state"] = os.path.join(experiments_root,

@@ -85,6 +85,36 @@ def test_ediffsr_train_smoke(ediffsr_env, monkeypatch):
     assert (exp / "val_images" / "2" / "000.png").exists()
 
 
+def test_ediffsr_fresh_train_archives_existing_dir(ediffsr_env,
+                                                   monkeypatch,
+                                                   tmp_path):
+    """Fresh (non-resume) training renames a pre-existing experiments
+    dir to *_archived_<ts> instead of mixing runs (reference
+    train.py:96-100 / file_utils.mkdir_and_rename:56-63); resume keeps
+    the dir in place."""
+    root, cfg = ediffsr_env
+    monkeypatch.chdir(tmp_path)
+    from fastdiffsr_tpu.ediffsr.options import parse_options
+
+    exp = tmp_path / "experiments" / "ediffsr_unit"
+    parse_options(str(cfg), is_train=True, root=str(tmp_path))
+    (exp / "train.log").write_text("old run")
+    parse_options(str(cfg), is_train=True, root=str(tmp_path))
+    archived = [p for p in exp.parent.iterdir()
+                if p.name.startswith("ediffsr_unit_archived_")]
+    assert archived and (archived[0] / "train.log").exists()
+    assert not (exp / "train.log").exists()
+
+    # resume_state set -> no archiving
+    opt = yaml.safe_load(cfg.read_text())
+    opt["path"]["resume_state"] = "whatever"
+    cfg_resume = tmp_path / "opt_resume.yml"
+    cfg_resume.write_text(yaml.safe_dump(opt, sort_keys=False))
+    (exp / "train.log").write_text("run to keep")
+    parse_options(str(cfg_resume), is_train=True, root=str(tmp_path))
+    assert (exp / "train.log").read_text() == "run to keep"
+
+
 def test_ediffsr_test_smoke(ediffsr_env, monkeypatch):
     root, cfg = ediffsr_env
     monkeypatch.chdir(root)
