@@ -53,10 +53,18 @@ def directory_features(d: str, extractor, batch_size: int = 8
             with Image.open(f) as im:
                 imgs.append(np.asarray(im.convert("RGB"),
                                        np.float32) / 255.0)
-        if len({im.shape for im in imgs}) == 1:
-            out.append(extractor(jnp.asarray(np.stack(imgs))))
-        else:  # mixed sizes: per-image (the extractor resizes internally)
-            out.extend(extractor(jnp.asarray(im[None])) for im in imgs)
+        if len({im.shape for im in imgs}) != 1:
+            # mixed sizes: pre-resize each image to 299 with the SAME
+            # bilinear-no-antialias op the extractor applies in-graph
+            # (so numerics match the uniform path), then batch once —
+            # a per-image extractor call would recompile the whole
+            # Inception graph per distinct input shape
+            import jax
+
+            imgs = [np.asarray(jax.image.resize(
+                im, (299, 299, im.shape[2]), method="bilinear",
+                antialias=False)) for im in imgs]
+        out.append(extractor(jnp.asarray(np.stack(imgs))))
     return np.concatenate(out)
 
 

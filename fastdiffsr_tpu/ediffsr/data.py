@@ -43,6 +43,16 @@ def _read01(path: str) -> np.ndarray:
     return _load_image(path).astype(np.float32) / 255.0
 
 
+def _bilinear_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Host-side bilinear resize of an HWC float [0,1] image (the
+    reference's cv2.INTER_LINEAR in LQGT_dataset.py:119)."""
+    from PIL import Image
+
+    chans = [np.asarray(Image.fromarray(img[..., c], mode="F").resize(
+        (w, h), Image.BILINEAR)) for c in range(img.shape[2])]
+    return np.stack(chans, axis=2).astype(np.float32)
+
+
 class _EDiffSRDataset:
     """Shared plumbing: option access, lengths, a lock-guarded RNG so every
     __getitem__ draws fresh crop/flip decisions (the reference uses the
@@ -113,6 +123,19 @@ class LQGTDataset(_EDiffSRDataset):
             lq = _read01(self.paths_LQ[index])
             lq_path = self.paths_LQ[index]
         else:
+            if self.phase == "train" and self.gt_size:
+                # force GT dims to multiples of scale (>= GT_size) before
+                # the downscale so LQ*scale == GT exactly and edge crops
+                # cannot overflow (LQGT_dataset.py:107-121: random_scale
+                # from [1] + _mod + cv2 INTER_LINEAR resize)
+                gs = int(self.gt_size)
+
+                def _mod(n):
+                    return max((n // self.scale) * self.scale, gs)
+
+                hs, ws = _mod(gt.shape[0]), _mod(gt.shape[1])
+                if (hs, ws) != gt.shape[:2]:
+                    gt = _bilinear_resize(gt, hs, ws)
             # on-the-fly degradation: MATLAB-bicubic downscale of GT
             # (LQGT_dataset.py:128 util.imresize(img_GT, 1/scale, True))
             lq = imresize(gt, 1.0 / self.scale, antialiasing=True)
@@ -235,7 +258,10 @@ class StereoLQGTDataset(_EDiffSRDataset):
 
 
 class StereoLQDataset(StereoLQGTDataset):
-    """LQ-only stereo (StereoLQ_dataset.py): same layout, no GT tree."""
+    """LQ-only stereo (StereoLQ_dataset.py): same layout, no GT tree.
+    The reference applies no crop/augment in any phase
+    (StereoLQ_dataset.py:55-89); the val modcrop here is a divisibility
+    convenience beyond it."""
 
     def __init__(self, opt: dict):
         _EDiffSRDataset.__init__(self, opt)
@@ -356,7 +382,13 @@ def create_ediffsr_loaders(opt) -> dict:
     (reference data/__init__.py:8-33; DDP rank-split handled by the
     shared loader's process sharding)."""
     loaders = {}
-    for phase, ds_opt in opt["datasets"].items():
+    # train.manual_seed drives the crop/augment RNG (the reference seeds
+    # the global random module from it, train.py util.set_random_seed);
+    # per-phase offset keeps train/val streams distinct
+    seed = (opt.get("train") or {}).get("manual_seed")
+    for i, (phase, ds_opt) in enumerate(opt["datasets"].items()):
+        if seed is not None and ds_opt.get("seed") is None:
+            ds_opt["seed"] = int(seed) + i
         ds = create_ediffsr_dataset(ds_opt)
         if ds_opt["phase"] == "train":
             loaders["train"] = DataLoader(

@@ -94,8 +94,12 @@ def with_warmup(schedule, init_lr: float, warmup_iter: int):
 
     def warmed(step):
         t = jnp.asarray(step)
-        return jnp.where(t < warmup_iter,
-                         init_lr * t.astype(jnp.float32) / warmup_iter,
+        # the reference's cur_iter is 1-based (train.py:235-252: the
+        # counter increments before optimize), so the first update runs
+        # at init_lr/warmup_iter, not 0
+        cur = t.astype(jnp.float32) + 1.0
+        return jnp.where(cur < warmup_iter,
+                         init_lr * cur / warmup_iter,
                          base(t))
 
     return warmed

@@ -166,7 +166,11 @@ class InceptionFID:
 
         def run(params, x01):
             b, h, w, c = x01.shape
-            x = jax.image.resize(x01, (b, 299, 299, c), method="bilinear")
+            # antialias=False: pytorch_fid resizes with F.interpolate
+            # (bilinear, no antialias) — jax.image.resize's default
+            # antialias would diverge on downscaled (>299px) inputs
+            x = jax.image.resize(x01, (b, 299, 299, c), method="bilinear",
+                                 antialias=False)
             return inception_pool3(params, x * 2.0 - 1.0)
 
         self._run = jax.jit(run)
@@ -218,7 +222,14 @@ def export_pack(out_path: str):  # pragma: no cover - needs downloads
                 for pk, pv in mod.state_dict(keep_vars=False).items():
                     sd[f"{name}.{pk}" if name else pk] = pv
         params = torch_inception_to_params(sd)
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            "pytorch_fid unavailable (%r); falling back to torchvision's "
+            "STANDARD inception_v3 weights. These are NOT pytorch_fid's "
+            "TF-ported FID weights — FID scores from this pack are not "
+            "comparable to reference-reported numbers." % (e,))
         from torchvision.models import inception_v3
 
         net = inception_v3(pretrained=True, aux_logits=True)

@@ -159,6 +159,44 @@ def test_onthefly_lr_via_matlab_imresize(tmp_path):
                                atol=1e-6)
 
 
+def test_onthefly_train_mods_gt_to_scale_multiple(tmp_path):
+    """Train-phase on-the-fly LR with GT dims NOT multiples of scale:
+    the reference resizes GT to multiples first (LQGT_dataset.py:107-121
+    _mod + INTER_LINEAR), so LQ*scale == GT exactly and edge crops never
+    overflow. Regression: ceil-sized imresize output let _draw_crop pick
+    windows whose GT slice ran past the image."""
+    gt_dir = tmp_path / "GT"
+    gt_dir.mkdir()
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (37, 43, 3), np.uint8)).save(
+        gt_dir / "0.png")
+    ds = ed.LQGTDataset({"phase": "train", "scale": 4, "GT_size": 16,
+                         "dataroot_GT": str(gt_dir), "dataroot_LQ": None,
+                         "use_flip": False, "use_rot": False, "seed": 0})
+    for _ in range(30):  # every draw must produce exact, full-size tiles
+        s = ds[0]
+        assert s["GT"].shape == (16, 16, 3), s["GT"].shape
+        assert s["LQ"].shape == (4, 4, 3), s["LQ"].shape
+
+
+def test_manual_seed_drives_dataset_rng(tmp_path):
+    """train.manual_seed reaches the crop/augment RNG through the loader
+    factory (the reference seeds the global random module from it), so
+    two runs with the same seed draw the same crops."""
+    gt_dir, lq_dir = _make_tree(tmp_path)
+
+    def first_crop():
+        opt = {"datasets": {"train": _train_opt(gt_dir, lq_dir,
+                                                seed=None,
+                                                batch_size=1,
+                                                use_shuffle=False)},
+               "train": {"manual_seed": 7}}
+        loaders = ed.create_ediffsr_loaders(opt)
+        return next(iter(loaders["train"]))["LQ"]
+
+    np.testing.assert_array_equal(first_crop(), first_crop())
+
+
 def test_val_modcrop(tmp_path):
     gt_dir, lq_dir = tmp_path / "GT", tmp_path / "LQ"
     gt_dir.mkdir(), lq_dir.mkdir()

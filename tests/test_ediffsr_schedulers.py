@@ -81,14 +81,15 @@ def test_cosine_restart_golden():
 
 
 def test_warmup_override():
-    """base_model.py:52-64: for t < warmup, lr = init * t / warmup
-    (overriding the scheduler); the scheduler value takes over at t ==
-    warmup."""
+    """base_model.py:52-64 with train.py:235-252's 1-based cur_iter:
+    the FIRST update (optax count 0, reference cur_iter 1) runs at
+    init/warmup — not 0 — and the scheduler value takes over once
+    cur_iter reaches warmup."""
     base = multistep_restart_schedule(INIT_LR, [100])
     warmed = with_warmup(base, INIT_LR, 10)
-    assert float(warmed(0)) == 0.0
-    np.testing.assert_allclose(float(warmed(5)), INIT_LR * 0.5, rtol=1e-6)
-    np.testing.assert_allclose(float(warmed(10)), float(base(10)),
+    np.testing.assert_allclose(float(warmed(0)), INIT_LR * 0.1, rtol=1e-6)
+    np.testing.assert_allclose(float(warmed(4)), INIT_LR * 0.5, rtol=1e-6)
+    np.testing.assert_allclose(float(warmed(9)), float(base(9)),
                                rtol=1e-6)
     # warmup disabled (reference warmup_iter: -1)
     plain = with_warmup(base, INIT_LR, -1)
