@@ -313,7 +313,10 @@ class DiffusionEngine:
         img, traj = jax.lax.scan(step, img, consts)
 
         def to_img(z):
-            if spec.target_space == "residual":
+            # unconditional sampling returns the raw (residual-space)
+            # tensor — the reference's unconditional branch never applies
+            # res2img (fastdiffsr_modules/diffusion.py:196-203 vs 214-216)
+            if spec.target_space == "residual" and cond is not None:
                 return res2img(z, cond)
             return z
 
@@ -406,7 +409,8 @@ class DiffusionEngine:
             return x_next, None
 
         img, _ = jax.lax.scan(step, init_noise, consts)
-        if spec.target_space == "residual":
+        # as in sample(): no res2img on the unconditional path
+        if spec.target_space == "residual" and cond is not None:
             return res2img(img, cond)
         return img
 
@@ -441,7 +445,8 @@ class DiffusionEngine:
                 x_recon = model_out
             else:
                 x_recon = self.predict_start_from_noise(x, t_idx, model_out)
-            x_recon = jnp.clip(x_recon, -1.0, 1.0)
+            if self.spec.clip_denoised:  # honor the flag like sample()
+                x_recon = jnp.clip(x_recon, -1.0, 1.0)
             mean, log_var = self.q_posterior(x_recon, x, t_idx)
             noise = jax.random.normal(jax.random.fold_in(rng_steps, t_idx),
                                       x.shape, jnp.float32)

@@ -20,6 +20,8 @@ import os
 import jax
 import jax.numpy as jnp
 
+from .fused_conv import group_stats_to_norm
+
 
 def _gn_swish_reference(x, scale, bias, groups: int, eps: float):
     """Pure-XLA GroupNorm+Swish (f32 statistics)."""
@@ -35,12 +37,18 @@ def _gn_swish_reference(x, scale, bias, groups: int, eps: float):
 
 
 def _pick_tile(hw: int, c: int, budget_bytes: int = 2 << 20) -> int:
-    """Largest 8-aligned HW tile whose f32 block fits the VMEM budget."""
-    tile = max(8, min(hw, budget_bytes // (4 * c)))
-    tile -= tile % 8
-    while hw % tile:
-        tile -= 8
-    return max(tile, 8)
+    """Largest HW tile that divides hw and fits the f32 VMEM budget;
+    prefers 8-aligned tiles, falling back to any divisor for spatial
+    sizes not divisible by 8 (the old 8-step-only loop underflowed to a
+    division by zero on e.g. hw=36 or 250x250 maps)."""
+    cap = max(1, min(hw, budget_bytes // (4 * c)))
+    for t in range(cap - cap % 8, 7, -8):
+        if hw % t == 0:
+            return t
+    for t in range(cap, 0, -1):
+        if hw % t == 0:
+            return t
+    return hw
 
 
 def _gn_swish_pallas(x, scale, bias, groups: int, eps: float):
@@ -57,7 +65,6 @@ def _gn_swish_pallas(x, scale, bias, groups: int, eps: float):
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, w, c = x.shape
-    cg = c // groups
     hw = h * w
     tile = _pick_tile(hw, c)
     n_tiles = hw // tile
@@ -86,13 +93,9 @@ def _gn_swish_pallas(x, scale, bias, groups: int, eps: float):
     )(xf)
 
     sums_c = jnp.sum(partial, axis=1)                         # (b, 2, C)
-    sums_g = jnp.sum(sums_c.reshape(b, 2, groups, cg), axis=-1)
-    inv_count = 1.0 / float(hw * cg)
-    mean_g = sums_g[:, 0] * inv_count                         # (b, G)
-    var_g = sums_g[:, 1] * inv_count - mean_g ** 2
-    inv_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.repeat(mean_g, cg, axis=-1)                  # (b, C)
-    inv_c = jnp.repeat(inv_g, cg, axis=-1)
+    # shared sums->(mean, inv_std) collapse (includes the variance clamp
+    # against f32 cancellation going negative -> NaN via rsqrt)
+    mean_c, inv_c = group_stats_to_norm(sums_c, hw, groups, eps)
 
     # (b, 1, C) so per-batch stat blocks are (1, 1, C): Mosaic needs the
     # last-two block dims divisible by (8, 128) OR equal to the array dims
@@ -179,15 +182,10 @@ def gn_swish_stats(x, scale, bias, groups: int, eps: float = 1e-5):
     normalize (broadcast elementwise only, so XLA fuses it into the
     next conv's prologue instead of materializing f32)."""
     b, h, w, c = x.shape
-    cg = c // groups
     stats = channel_stats_pallas(x)                    # (B, 2, C)
-    cnt = float(h * w * cg)
-    gsum = jnp.sum(stats[:, 0].reshape(b, groups, cg), axis=-1)
-    gsq = jnp.sum(stats[:, 1].reshape(b, groups, cg), axis=-1)
-    mean_g = gsum / cnt
-    inv_g = jax.lax.rsqrt(jnp.maximum(gsq / cnt - mean_g ** 2, 0.0) + eps)
-    mean_c = jnp.repeat(mean_g, cg, axis=-1)[:, None, None, :]
-    inv_c = jnp.repeat(inv_g, cg, axis=-1)[:, None, None, :]
+    mean_c, inv_c = group_stats_to_norm(stats, h * w, groups, eps)
+    mean_c = mean_c[:, None, None, :]
+    inv_c = inv_c[:, None, None, :]
     xf = x.astype(jnp.float32)
     y = (xf - mean_c) * (inv_c * scale.astype(jnp.float32)) \
         + bias.astype(jnp.float32)
@@ -219,22 +217,16 @@ def gn_swish_dot(x, scale, bias, groups: int, eps: float = 1e-5):
     the default path, so XLA fuses it identically.
     """
     b, h, w, c = x.shape
-    cg = c // groups
     ones_k = jnp.ones((h, w, 8), x.dtype)
     s1 = jnp.einsum("bhwc,hwk->bkc", x, ones_k,
                     preferred_element_type=jnp.float32)[:, 0]       # (B, C)
     gram = jnp.einsum("bhwc,bhwd->bcd", x, x,
                       preferred_element_type=jnp.float32)
     s2 = jnp.diagonal(gram, axis1=1, axis2=2)                       # (B, C)
-    cnt = float(h * w * cg)
-    gs1 = jnp.sum(s1.reshape(b, groups, cg), axis=-1)
-    gs2 = jnp.sum(s2.reshape(b, groups, cg), axis=-1)
-    mean_g = gs1 / cnt
-    var_g = jnp.maximum(gs2 / cnt - mean_g ** 2, 0.0)
-    inv_g = jax.lax.rsqrt(var_g + eps)
-    mean_c = jnp.repeat(mean_g, cg, axis=-1)[:, None, None, :]
-    winv_c = jnp.repeat(inv_g, cg, axis=-1)[:, None, None, :] \
-        * scale.astype(jnp.float32)
+    mean_c, inv_c = group_stats_to_norm(
+        jnp.stack([s1, s2], axis=1), h * w, groups, eps)
+    mean_c = mean_c[:, None, None, :]
+    winv_c = inv_c[:, None, None, :] * scale.astype(jnp.float32)
     y = (x.astype(jnp.float32) - mean_c) * winv_c \
         + bias.astype(jnp.float32)
     y = y * jax.nn.sigmoid(y)

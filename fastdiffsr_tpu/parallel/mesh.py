@@ -37,11 +37,14 @@ def auto_mesh(batch_size: int, devices=None) -> Optional[Mesh]:
     mesh-selection rule shared by the train/val/infer CLIs (the reference's
     analogue is the gpu_ids list, model/networks.py:116-118). Returns None
     when only one device would participate."""
-    import math
-
     if devices is None:
         devices = jax.devices()
-    n = math.gcd(int(batch_size), len(devices))
+    b = int(batch_size)
+    # largest divisor of batch_size that fits the device count (gcd was
+    # wrong: batch 6 on 4 devices -> gcd 2, leaving a valid 3-chip mesh
+    # idle; batch 3 on 8 devices -> gcd 1, no mesh at all)
+    n = next((d for d in range(min(b, len(devices)), 1, -1)
+              if b % d == 0), 1)
     return make_mesh(n, devices=devices) if n > 1 else None
 
 

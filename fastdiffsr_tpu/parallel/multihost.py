@@ -22,7 +22,7 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh
 
 from .mesh import DATA_AXIS, batch_sharding, replicated_sharding
 

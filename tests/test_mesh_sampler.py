@@ -92,8 +92,16 @@ def test_mesh_sampler_batch_grouping_invariance(setup):
 
 
 def test_auto_mesh_rule():
+    """Largest divisor of batch_size that fits the 8 virtual devices
+    (gcd was wrong: it idled valid meshes, e.g. batch 12 -> 4 not 6)."""
     assert auto_mesh(1) is None
     m = auto_mesh(8)
     assert m is not None and m.devices.size == 8
-    m = auto_mesh(12)  # gcd(12, 8) = 4
-    assert m is not None and m.devices.size == 4
+    m = auto_mesh(12)  # divisors of 12 under 8: 6 beats gcd's 4
+    assert m is not None and m.devices.size == 6
+    m = auto_mesh(6)
+    assert m is not None and m.devices.size == 6
+    m = auto_mesh(3)  # gcd(3, 8) = 1 would have returned None
+    assert m is not None and m.devices.size == 3
+    m = auto_mesh(7)
+    assert m is not None and m.devices.size == 7

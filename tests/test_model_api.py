@@ -61,6 +61,7 @@ def test_wrapper_roundtrip(tmp_path):
     # NOTE: unconditional .sample() requires an in_channel=3 unconditional
     # config (as in the reference, model/model.py:70-77 would feed a
     # 3-channel input to a 6-channel stem and fail the same way).
+    # It is covered by test_unconditional_sample below.
 
     # checkpoint round trip
     path = m.save_network(epoch=1, iter_step=2)
@@ -76,3 +77,20 @@ def test_wrapper_roundtrip(tmp_path):
         next(iter(np.asarray(x) for x in
                   __import__("jax").tree_util.tree_leaves(m2.state.params))))
     np.testing.assert_allclose(a, b)
+
+
+def test_unconditional_sample(tmp_path):
+    """model.py:70-77 unconditional sample(): the reference's
+    unconditional branch never applies res2img
+    (fastdiffsr_modules/diffusion.py:196-203), so a residual-space spec
+    with cond=None must return the raw sampled tensor, not crash."""
+    from fastdiffsr_tpu.model_api import create_model
+
+    opt = _opt(tmp_path)
+    opt["model"]["unet"]["in_channel"] = 3
+    opt["model"]["diffusion"]["conditional"] = False
+    m = create_model(opt)
+    m.set_new_noise_schedule(schedule_phase="val")
+    out = m.sample(batch_size=2)
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(np.asarray(out)).all()
