@@ -282,7 +282,7 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from ..data import create_dataset, create_dataloader
-    from ..parallel import make_mesh, shard_batch
+    from ..parallel import auto_mesh, shard_batch
     from ..train import create_train_state, make_train_step
     from ..train.state import make_optimizer
     from ..train.checkpoint import (save_state, load_state,
@@ -291,13 +291,12 @@ def main(argv=None):
 
     scale = infer_scale(opt)
     n_dev = jax.local_device_count()
-    # DP mesh size must divide the global batch
-    import math as _math
+    # DP mesh = largest batch divisor that fits the devices
     bsz = int(opt["datasets"]["train"]["batch_size"] or 1)
-    n_mesh = _math.gcd(bsz, n_dev)
-    mesh = make_mesh(n_mesh) if n_mesh > 1 else None
+    mesh = auto_mesh(bsz)
     logger.info(f"devices: {n_dev} ({jax.default_backend()}), "
-                f"mesh: {n_mesh}, scale x{scale}")
+                f"mesh: {mesh.devices.size if mesh else 1}, "
+                f"scale x{scale}")
 
     eng_train, eng_val, net, apply_fn, params = build_all(opt, args.phase,
                                                           mesh)

@@ -23,7 +23,6 @@ Usage: python -m fastdiffsr_tpu.ediffsr.train -opt <yaml> [--test]
 from __future__ import annotations
 
 import argparse
-import math
 import os
 import time
 
@@ -192,7 +191,7 @@ def main(argv=None):
     import jax.numpy as jnp
     import optax
 
-    from ..parallel import make_mesh, shard_batch, replicated_sharding, \
+    from ..parallel import auto_mesh, shard_batch, replicated_sharding, \
         batch_sharding
     from ..train.state import create_train_state
     from ..train.checkpoint import save_state, load_state
@@ -282,10 +281,8 @@ def main(argv=None):
     if opt["path"]["resume_state"]:
         state = load_state(opt["path"]["resume_state"], state)
 
-    n_dev = jax.local_device_count()
     bsz = int(opt["datasets"]["train"]["batch_size"] or 2)
-    n_mesh = math.gcd(bsz, n_dev)
-    mesh = make_mesh(n_mesh) if n_mesh > 1 else None
+    mesh = auto_mesh(bsz)  # largest batch divisor that fits the devices
     loss_type = train_opt.get("loss_type", "l1")
     weight = float(train_opt.get("weight", 1.0))
 
