@@ -212,16 +212,38 @@ class GANTrainer:
             return g_state, d_state, {"g": g_loss, "d": d_loss,
                                       "pixel": pixel, "adv": adv}
 
+        self._steps_fn = steps
         self._steps = jax.jit(steps, donate_argnums=(0, 1))
+        self.mesh = None
+
+    def _enable_dp(self, batch_size: int):
+        """DP both GAN steps over a device mesh (G/D params replicated,
+        batch sharded — the SPMD form of the reference's nn.DataParallel
+        wrap, model/networks.py:116-118)."""
+        from ..parallel import (auto_mesh, batch_sharding,
+                                replicated_sharding)
+        mesh = auto_mesh(batch_size)
+        if mesh is None or self.mesh is not None:
+            return
+        self.mesh = mesh
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        self._steps = jax.jit(
+            self._steps_fn, donate_argnums=(0, 1),
+            in_shardings=(repl, repl, data, data),
+            out_shardings=(repl, repl, repl))
+        self.logger.info(f"DP mesh: {mesh.devices.size} devices")
 
     def train(self, train_dirs, num_epochs=1, batch_size=2,
               max_steps=None):
         import numpy as np
 
         from .data import RGBSRDataset, MSIDataLoader
+        self._enable_dp(batch_size)
         ds = RGBSRDataset(train_dirs,
                           int(getattr(self.args, "crop_size", 64)),
                           self.scale, split="train")
+        # shuffle=True implies drop_last, so every batch fills the mesh
         loader = MSIDataLoader(ds, batch_size=batch_size, shuffle=True)
         step = 0
         for epoch in range(num_epochs):

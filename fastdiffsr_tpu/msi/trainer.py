@@ -99,9 +99,30 @@ class SupervisedSRTrainer:
                                  opt_state=opt_state,
                                  ema_params=state.ema_params), loss
 
+        self._step_fn = train_step
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._infer = jax.jit(lambda params, lr: model.apply(
             {"params": params}, lr, deterministic=True))
+        self.mesh = None
+
+    def _enable_dp(self, batch_size: int):
+        """DP the train step over a device mesh (params replicated, batch
+        sharded; XLA all-reduces the grads over ICI). The reference gets
+        this from the nn.DataParallel wrap in model/networks.py:116-118;
+        here it is one SPMD program selected by the shared auto_mesh rule."""
+        from ..parallel import (auto_mesh, batch_sharding,
+                                replicated_sharding)
+        mesh = auto_mesh(batch_size)
+        if mesh is None or self.mesh is not None:
+            return
+        self.mesh = mesh
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        self._train_step = jax.jit(
+            self._step_fn, donate_argnums=(0,),
+            in_shardings=(repl, data, data, repl),
+            out_shardings=(repl, repl))
+        self.logger.info(f"DP mesh: {mesh.devices.size} devices")
 
     # ------------------------------------------------------------------ #
 
@@ -110,8 +131,10 @@ class SupervisedSRTrainer:
         args = self.args
         num_epochs = num_epochs or int(getattr(args, "num_epochs", 50))
         batch_size = batch_size or int(getattr(args, "batch_size", 1))
+        self._enable_dp(batch_size)
         ds = RGBSRDataset(train_dirs, int(getattr(args, "crop_size", 256)),
                           self.scale, split="train")
+        # shuffle=True implies drop_last, so every batch fills the mesh
         loader = MSIDataLoader(ds, batch_size=batch_size, shuffle=True)
         rng = jax.random.PRNGKey(1)
 

@@ -148,3 +148,25 @@ def test_gan_trainer_steps(tmp_path):
     tr = GANTrainer(args)
     m = tr.train([str(d)], num_epochs=1, batch_size=2, max_steps=2)
     assert np.isfinite(m["g"]) and np.isfinite(m["d"])
+    assert tr.mesh is not None and tr.mesh.devices.size == 2
+
+
+def test_gan_trainer_single_device(tmp_path):
+    """batch_size 1 selects no mesh and still trains."""
+    import types
+    from PIL import Image
+    from fastdiffsr_tpu.msi.ndsrgan import GANTrainer
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (32, 32, 3),
+                                     dtype=np.uint8)).save(d / f"{i}.png")
+    args = types.SimpleNamespace(scale_factor=2, crop_size=32, lr=1e-4,
+                                 weight_gan=1e-3, g_nf=8, g_nc=4,
+                                 g_blocks=1)
+    tr = GANTrainer(args)
+    m = tr.train([str(d)], num_epochs=1, batch_size=1, max_steps=1)
+    assert tr.mesh is None
+    assert np.isfinite(m["g"]) and np.isfinite(m["d"])

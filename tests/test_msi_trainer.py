@@ -77,6 +77,43 @@ def test_trainer_train_validate(msi_env):
     assert "psnr:" in val_log and "dataset: SwinIR" in val_log
 
 
+def test_trainer_dp_mesh_parity(msi_env):
+    """The DP-meshed train step (params replicated, batch sharded over the
+    conftest's virtual 8-CPU mesh — the SPMD form of the reference's
+    nn.DataParallel wrap, model/networks.py:116-118) produces the same
+    state update as the single-device step."""
+    import jax
+    import jax.numpy as jnp
+    from fastdiffsr_tpu.msi.hsenet import HSENet
+    from fastdiffsr_tpu.msi.trainer import SupervisedSRTrainer
+
+    # conv model on purpose: SwinIR's qkv key-bias has an analytically-zero
+    # gradient (softmax shift invariance), so its post-Adam sign is
+    # reassociation noise and not comparable across shardings
+    def make():
+        model = HSENet(scale=2, n_feats=8, n_basic_modules=1)
+        return SupervisedSRTrainer(model, _args(msi_env))
+
+    rng = np.random.default_rng(1)
+    lr_b = jnp.asarray(rng.random((4, 8, 8, 3)).astype(np.float32))
+    hr_b = jnp.asarray(rng.random((4, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(7)
+
+    ref = make()
+    ref_state, ref_loss = ref._train_step(ref.state, lr_b, hr_b, key)
+
+    dp = make()
+    dp._enable_dp(4)
+    assert dp.mesh is not None and dp.mesh.devices.size == 4
+    dp_state, dp_loss = dp._train_step(dp.state, lr_b, hr_b, key)
+
+    assert np.isclose(float(dp_loss), float(ref_loss), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(ref_state.params),
+                    jax.tree_util.tree_leaves(dp_state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_trainer_single_image(msi_env):
     from fastdiffsr_tpu.msi.swinir import SwinIR
     from fastdiffsr_tpu.msi.trainer import SupervisedSRTrainer
