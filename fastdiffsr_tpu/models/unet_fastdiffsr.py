@@ -175,7 +175,15 @@ class Block(nn.Module):
 class ResnetBlock(nn.Module):
     """block1 -> +noise-embedding shift -> block2 + 1x1 skip
     (reference unet.py:104-120; FeatureWiseAffine additive mode,
-    unet.py:38-54)."""
+    unet.py:38-54).
+
+    ``stats_barrier``: place a jax.lax.optimization_barrier between
+    block1's conv output and block2's GroupNorm, preventing XLA's
+    conv+output-stats kOutput fusion for THIS block only (semantically
+    the identity). Probes the single-block form of the slow-emitter
+    anomaly (BASELINE.md: ups_12/block1 picks EmitOutputBatchInSublanes
+    at ~2x its siblings' time; global and C>128-wide barriers were
+    falsified in r1, this targets one block)."""
 
     dim: int
     dim_out: int
@@ -185,6 +193,7 @@ class ResnetBlock(nn.Module):
     fused_norm: str = ""
     quant: str = ""
     in_perm: int = 0
+    stats_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
@@ -195,6 +204,8 @@ class ResnetBlock(nn.Module):
         shift = nn.Dense(self.dim_out, dtype=self.dtype,
                          name="noise_dense")(noise_emb)
         h = h + shift[:, None, None, :]
+        if self.stats_barrier:
+            h = jax.lax.optimization_barrier(h)
         h = Block(self.dim_out, groups=self.groups, dropout=self.dropout,
                   dtype=self.dtype, fused_norm=self.fused_norm,
                   quant=self.quant,
@@ -288,6 +299,7 @@ class ResnetBlockWithAttn(nn.Module):
     fused_norm: str = ""
     quant: str = ""
     in_perm: int = 0
+    stats_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
@@ -295,6 +307,7 @@ class ResnetBlockWithAttn(nn.Module):
                         groups=self.groups, dtype=self.dtype,
                         fused_norm=self.fused_norm, quant=self.quant,
                         in_perm=self.in_perm,
+                        stats_barrier=self.stats_barrier,
                         name="res_block")(x, noise_emb,
                                           deterministic=deterministic)
         if self.with_attn:
@@ -462,6 +475,10 @@ class FastDiffSRUNet(nn.Module):
     upsample_mode: str = ""
     skip_concat: str = ""
     quant: str = ""
+    # comma-separated ResnetBlockWithAttn names ('ups_12,mid_0', ...) whose
+    # block1-conv -> block2-GN-stats fusion is cut with an
+    # optimization_barrier (exact identity; see ResnetBlock.stats_barrier)
+    stats_barrier: str = ""
 
     @nn.compact
     def __call__(self, x: jax.Array, noise_level: jax.Array, *,
@@ -470,6 +487,8 @@ class FastDiffSRUNet(nn.Module):
             raise ValueError(
                 f"skip_concat={self.skip_concat!r} "
                 "(want '', 'split' or 'swap')")
+        barrier_set = frozenset(
+            s for s in self.stats_barrier.split(",") if s)
         if self.quant not in ("", "w8a8", "w8a8s"):
             raise ValueError(
                 f"quant={self.quant!r} (want '', 'w8a8' or 'w8a8s')")
