@@ -73,6 +73,16 @@ def _fold_in_per_key(keys, data):
     return jax.vmap(jax.random.fold_in, in_axes=(0, None))(keys, data)
 
 
+def default_scan_unroll() -> int:
+    """FASTDIFFSR_TPU_SCAN_UNROLL: unroll factor for the reverse-loop scans
+    (default 1). Unrolling replicates the step body N times inside the scan
+    so XLA can fuse the inter-step posterior math with the next step's
+    prologue, at the cost of an N-x larger program (and compile time).
+    A/B it with tools/unroll_check.py; v5e numbers in BASELINE.md."""
+    import os
+    return int(os.environ.get("FASTDIFFSR_TPU_SCAN_UNROLL", "1"))
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionSpec:
     """Static configuration selecting a diffusion variant."""
@@ -310,7 +320,8 @@ class DiffusionEngine:
             x_next = mean + c["nonzero"] * noise * jnp.exp(0.5 * log_var)
             return x_next, (x_next if return_trajectory else None)
 
-        img, traj = jax.lax.scan(step, img, consts)
+        img, traj = jax.lax.scan(step, img, consts,
+                                 unroll=default_scan_unroll())
 
         def to_img(z):
             # unconditional sampling returns the raw (residual-space)
@@ -408,7 +419,8 @@ class DiffusionEngine:
                 x_next = x_next + c["sigma"] * noise
             return x_next, None
 
-        img, _ = jax.lax.scan(step, init_noise, consts)
+        img, _ = jax.lax.scan(step, init_noise, consts,
+                              unroll=default_scan_unroll())
         # as in sample(): no res2img on the unconditional path
         if spec.target_space == "residual" and cond is not None:
             return res2img(img, cond)

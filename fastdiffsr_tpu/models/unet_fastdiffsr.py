@@ -527,6 +527,7 @@ class FastDiffSRUNet(nn.Module):
                     pre, ch, dropout=self.dropout, groups=self.norm_groups,
                     with_attn=False, dtype=self.dtype,
                     fused_norm=self.fused_norm, quant=self.quant,
+                    stats_barrier=f"downs_{idx}" in barrier_set,
                     name=f"downs_{idx}")(x, t, deterministic=deterministic)
                 idx += 1
                 feats.append(x)
@@ -542,12 +543,12 @@ class FastDiffSRUNet(nn.Module):
         x = ResnetBlockWithAttn(
             pre, pre, dropout=self.dropout, groups=self.norm_groups,
             with_attn=True, dtype=self.dtype, fused_norm=self.fused_norm,
-            quant=self.quant,
+            quant=self.quant, stats_barrier="mid_0" in barrier_set,
             name="mid_0")(x, t, deterministic=deterministic)
         x = ResnetBlockWithAttn(
             pre, pre, dropout=self.dropout, groups=self.norm_groups,
             with_attn=False, dtype=self.dtype, fused_norm=self.fused_norm,
-            quant=self.quant,
+            quant=self.quant, stats_barrier="mid_1" in barrier_set,
             name="mid_1")(x, t, deterministic=deterministic)
 
         # --- up path with skip-concat ([x, skip] channel order as torch) ---
@@ -576,6 +577,7 @@ class FastDiffSRUNet(nn.Module):
                     groups=self.norm_groups, with_attn=False,
                     dtype=self.dtype, fused_norm=self.fused_norm,
                     quant=self.quant, in_perm=swap,
+                    stats_barrier=f"ups_{idx}" in barrier_set,
                     name=f"ups_{idx}")(
                         xin, t, deterministic=deterministic)
                 idx += 1

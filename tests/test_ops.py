@@ -266,3 +266,50 @@ def test_unet_upsample_mode_parity(mode):
     want = net.apply(params, x, lvl)
     got = FastDiffSRUNet(**kw, upsample_mode=mode).apply(params, x, lvl)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_unet_stats_barrier_identity():
+    """stats_barrier='<names>' inserts optimization_barriers (a fusion cut,
+    semantically the identity) into the named blocks only — outputs must be
+    bit-identical and the parameter tree unchanged."""
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    rng = jax.random.PRNGKey(11)
+    kw = dict(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+              res_blocks=1, dropout=0.0)
+    x = jax.random.normal(rng, (2, 16, 16, 6))
+    lvl = jnp.array([0.7, 0.3])
+    net = FastDiffSRUNet(**kw)
+    params = net.init(rng, x, lvl)
+    want = net.apply(params, x, lvl)
+    barred = FastDiffSRUNet(**kw, stats_barrier="ups_0,mid_0,downs_1")
+    got = barred.apply(params, x, lvl)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    p2 = barred.init(rng, x, lvl)
+    assert (jax.tree_util.tree_structure(params)
+            == jax.tree_util.tree_structure(p2))
+
+
+def test_sampler_scan_unroll_identity(monkeypatch):
+    """FASTDIFFSR_TPU_SCAN_UNROLL replicates the scan body without changing
+    semantics: the sampled batch must match the unroll=1 result."""
+    from fastdiffsr_tpu.diffusion import (DiffusionEngine, DiffusionSpec,
+                                          ScheduleBuffers)
+
+    engine = DiffusionEngine(
+        DiffusionSpec.for_variant("fastdiffsr"),
+        ScheduleBuffers.create({"schedule": "linear_cosine",
+                                "n_timestep": 8,
+                                "linear_start": 1e-6, "linear_end": 1e-2}))
+    rng = jax.random.PRNGKey(2)
+    cond = jax.random.uniform(rng, (2, 8, 8, 3), jnp.float32, -1, 1)
+
+    def denoise(x_in, level):
+        return 0.1 * x_in[..., 3:] + level[:, None, None, None] * 0.01
+
+    want = np.asarray(engine.sample(denoise, cond, rng))
+    for n in (2, 3):  # incl. a non-divisor of T=8
+        monkeypatch.setenv("FASTDIFFSR_TPU_SCAN_UNROLL", str(n))
+        got = np.asarray(jax.jit(
+            lambda c, r: engine.sample(denoise, c, r))(cond, rng))
+        np.testing.assert_allclose(got, want, atol=1e-6)
