@@ -32,10 +32,12 @@ REF_IMAGES_PER_SEC_EST = 2.0
 REF_LATENCY_SEC_EST = 1.0 / REF_IMAGES_PER_SEC_EST
 
 
-def build_flagship_net():
+def build_flagship_net(stats_barrier: str = ""):
     """The benched FastDiffSR UNet with every env-selected mode applied
-    (FASTDIFFSR_TPU_FUSED_NORM / _UPSAMPLE / _SKIP_CONCAT) — one builder
-    so every bench mode measures the same graph as the CLIs."""
+    (FASTDIFFSR_TPU_FUSED_NORM / _UPSAMPLE / _SKIP_CONCAT / _QUANT) — one
+    builder so every bench mode AND every A/B lab (tools/) measures the
+    same graph as the CLIs. ``stats_barrier`` is the per-block
+    optimization-barrier probe knob (tools/barrier_check.py)."""
     import jax.numpy as jnp
 
     from fastdiffsr_tpu.models import FastDiffSRUNet
@@ -47,7 +49,8 @@ def build_flagship_net():
                           fused_norm=default_fused_norm(),
                           upsample_mode=default_upsample_mode(),
                           skip_concat=default_skip_concat(),
-                          quant=default_quant())
+                          quant=default_quant(),
+                          stats_barrier=stats_barrier)
 
 
 def arg_batch(default):

@@ -164,7 +164,14 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
     sums = {"psnr": 0.0, "ssim": 0.0, "mse": 0.0, "ergas": 0.0, "lpips": 0.0,
             "lpips_n": 0}
     n = 0
-    t_total = 0.0
+    # steady-state timing accumulators: the first batch of a fresh jit
+    # wrapper includes the whole sampler compile (~20-200 s on the TPU) and
+    # is excluded from the recorded avg_time (VERDICT r2 weak #6 — the
+    # contaminated aggregate is the number readers quote); it is kept
+    # separately as compile_time
+    t_steady = 0.0
+    n_steady = 0
+    t_compile = None
     first_batch = True
     for batch in val_loader:
         if max_images is not None and n >= max_images:
@@ -175,12 +182,18 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
         sr = sample_fn(params, cond, keys)
         sr = np.asarray(jax.block_until_ready(sr))
         dt = time.time() - t0
-        t_total += dt
         dt_img = dt / full_b  # steady-state per-image time (padded lanes
         # still compute, so dividing by the true count would inflate tails)
         # first batch includes JIT compile — label it so the per-image
         # figure isn't mistaken for steady-state (ADVICE.md r1)
-        dt_note = " incl. compile" if (first_batch and fresh_fn) else ""
+        compile_batch = first_batch and fresh_fn
+        if compile_batch:
+            t_compile = dt
+        else:
+            t_steady += dt
+            n_steady += min(b, (max_images - n) if max_images is not None
+                            else b)
+        dt_note = " incl. compile" if compile_batch else ""
         first_batch = False
 
         for j in range(b):
@@ -232,8 +245,15 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
     if n == 0:
         return {}
     res = {"psnr": sums["psnr"] / n, "ssim": sums["ssim"] / n,
-           "mse": sums["mse"] / n, "ergas": sums["ergas"] / n,
-           "avg_time": t_total / n}
+           "mse": sums["mse"] / n, "ergas": sums["ergas"] / n}
+    if n_steady:
+        res["avg_time"] = t_steady / n_steady
+    elif t_compile is not None:
+        # single-batch val set: no steady-state sample exists; report the
+        # contaminated figure under an honest name rather than "avg_time"
+        res["avg_time_incl_compile"] = t_compile / n
+    if t_compile is not None and n_steady:
+        res["compile_time"] = t_compile
     if sums["lpips_n"]:
         res["lpips"] = sums["lpips"] / sums["lpips_n"]
     logger.info("# Validation # " + " ".join(

@@ -184,6 +184,17 @@ class DataLoader:
     Per-process sharding for multi-host SPMD: pass process_index /
     process_count (defaults read from jax at iteration time only if
     shard_by_process=True).
+
+    Sharded shuffling implements the reference DistIterSampler semantics
+    (EDiffSR/codes/data/data_sampler.py:13-60): every epoch draws ONE
+    epoch-seeded global permutation — identical on every process because
+    it depends only on (seed, epoch) — of ``ceil(n*ratio/P)*P`` indices
+    taken modulo n (the ×``enlarge_ratio`` stream with wraparound padding
+    so every process gets exactly the same number of samples; unequal
+    shards would desynchronize lockstep SPMD steps), and each process
+    reads its ``process_index``-strided slice. Processes iterating in
+    step therefore partition each epoch's permutation exactly
+    (tests/test_data_config.py::test_loader_dist_iter_semantics).
     """
 
     def __init__(self, dataset: LRHRDataset, batch_size: int = 1,
@@ -192,7 +203,8 @@ class DataLoader:
                  prefetch: int = 4,
                  num_workers: int = 1,
                  shard_by_process: bool = False,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 enlarge_ratio: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -207,9 +219,21 @@ class DataLoader:
             process_count = jax.process_count()
         self.process_index = process_index
         self.process_count = process_count
+        self.enlarge_ratio = max(1, int(enlarge_ratio or 1))
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the permutation epoch explicitly (the reference's
+        sampler.set_epoch, data_sampler.py:58-60). Normally unnecessary:
+        each __iter__ advances the epoch implicitly and processes iterating
+        in lockstep stay in agreement."""
+        self.epoch = int(epoch)
 
     def __len__(self):
-        n = len(self.dataset) // self.process_count
+        if self.shuffle:
+            n = -(-len(self.dataset) * self.enlarge_ratio
+                  // self.process_count)
+        else:
+            n = len(self.dataset) // self.process_count
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -217,8 +241,12 @@ class DataLoader:
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
+            # global permutation of the (enlarged, P-padded) index stream,
+            # mod n — identical across processes for a given (seed, epoch)
+            total = (-(-n * self.enlarge_ratio // self.process_count)
+                     * self.process_count)
             rng = np.random.default_rng(self.seed + self.epoch)
-            idx = rng.permutation(n)
+            idx = rng.permutation(total) % n
         else:
             idx = np.arange(n)
         return idx[self.process_index::self.process_count]
@@ -300,7 +328,10 @@ def create_dataloader(dataset: LRHRDataset, dataset_opt: dict,
         return DataLoader(dataset,
                           batch_size=dataset_opt["batch_size"],
                           shuffle=bool(dataset_opt.get("use_shuffle", True)),
-                          num_workers=dataset_opt.get("num_workers") or 1)
+                          num_workers=dataset_opt.get("num_workers") or 1,
+                          enlarge_ratio=int(
+                              dataset_opt.get("dataset_enlarge_ratio")
+                              or 1))
     if phase == "val":
         # the reference forces batch=1 for val (data/__init__.py:15-18); a
         # larger datasets.val.batch_size is a TPU-native opt-in that batches

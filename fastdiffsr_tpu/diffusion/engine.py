@@ -75,12 +75,26 @@ def _fold_in_per_key(keys, data):
 
 def default_scan_unroll() -> int:
     """FASTDIFFSR_TPU_SCAN_UNROLL: unroll factor for the reverse-loop scans
-    (default 1). Unrolling replicates the step body N times inside the scan
-    so XLA can fuse the inter-step posterior math with the next step's
-    prologue, at the cost of an N-x larger program (and compile time).
-    A/B it with tools/unroll_check.py; v5e numbers in BASELINE.md."""
+    (sample / sample_ddim / interpolate; default 1). Unrolling replicates
+    the step body N times inside the scan so XLA can fuse the inter-step
+    posterior math with the next step's prologue, at the cost of an N-x
+    larger program (and compile time). A/B it with tools/unroll_check.py;
+    v5e numbers in BASELINE.md.
+
+    Read at TRACE time: changing the env var only takes effect on a fresh
+    trace — a sampler already jitted in this process keeps its compiled
+    program (the tools build one jit wrapper per arm for this reason)."""
     import os
-    return int(os.environ.get("FASTDIFFSR_TPU_SCAN_UNROLL", "1"))
+    raw = os.environ.get("FASTDIFFSR_TPU_SCAN_UNROLL", "1")
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"FASTDIFFSR_TPU_SCAN_UNROLL={raw!r} is not an integer") from None
+    if val < 1:
+        raise ValueError(
+            f"FASTDIFFSR_TPU_SCAN_UNROLL={raw!r} must be >= 1")
+    return val
 
 
 @dataclasses.dataclass(frozen=True)
@@ -465,5 +479,5 @@ class DiffusionEngine:
             nonzero = (t_idx > 0).astype(jnp.float32)
             return mean + nonzero * noise * jnp.exp(0.5 * log_var), None
 
-        img, _ = jax.lax.scan(step, img, ts)
+        img, _ = jax.lax.scan(step, img, ts, unroll=default_scan_unroll())
         return img

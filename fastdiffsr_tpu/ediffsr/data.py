@@ -394,7 +394,9 @@ def create_ediffsr_loaders(opt) -> dict:
             loaders["train"] = DataLoader(
                 ds, batch_size=int(ds_opt.get("batch_size") or 2),
                 shuffle=bool(ds_opt.get("use_shuffle", True)),
-                num_workers=int(ds_opt.get("n_workers") or 1))
+                num_workers=int(ds_opt.get("n_workers") or 1),
+                enlarge_ratio=int(
+                    ds_opt.get("dataset_enlarge_ratio") or 1))
         else:
             loaders["val"] = DataLoader(ds, batch_size=1, shuffle=False)
     return loaders

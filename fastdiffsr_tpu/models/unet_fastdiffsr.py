@@ -480,6 +480,30 @@ class FastDiffSRUNet(nn.Module):
     # optimization_barrier (exact identity; see ResnetBlock.stats_barrier)
     stats_barrier: str = ""
 
+    def _resblock_names(self) -> frozenset:
+        """Names of every ResnetBlockWithAttn this config instantiates
+        (the only valid ``stats_barrier`` targets). Mirrors the index
+        arithmetic of ``__call__``: the down path interleaves the stem conv
+        (downs_0) and Downsample modules into the same counter; the up path
+        interleaves Upsample modules."""
+        names = {"mid_0", "mid_1"}
+        num_mults = len(self.channel_mults)
+        idx = 1  # downs_0 is the stem conv
+        for ind in range(num_mults):
+            for _ in range(self.res_blocks):
+                names.add(f"downs_{idx}")
+                idx += 1
+            if ind != num_mults - 1:
+                idx += 1  # Downsample
+        idx = 0
+        for ind in reversed(range(num_mults)):
+            for _ in range(self.res_blocks + 1):
+                names.add(f"ups_{idx}")
+                idx += 1
+            if ind >= 1:
+                idx += 1  # Upsample
+        return frozenset(names)
+
     @nn.compact
     def __call__(self, x: jax.Array, noise_level: jax.Array, *,
                  deterministic: bool = True) -> jax.Array:
@@ -489,6 +513,15 @@ class FastDiffSRUNet(nn.Module):
                 "(want '', 'split' or 'swap')")
         barrier_set = frozenset(
             s for s in self.stats_barrier.split(",") if s)
+        unknown = barrier_set - self._resblock_names()
+        if unknown:
+            # a typo'd name ('up_12') or a stem/Downsample/Upsample index
+            # would otherwise be a silent no-op — a barrier A/B would time
+            # the baseline against itself (ADVICE r2)
+            raise ValueError(
+                f"stats_barrier names {sorted(unknown)} do not name "
+                f"ResnetBlockWithAttn instances; valid: "
+                f"{sorted(self._resblock_names())}")
         if self.quant not in ("", "w8a8", "w8a8s"):
             raise ValueError(
                 f"quant={self.quant!r} (want '', 'w8a8' or 'w8a8s')")

@@ -98,6 +98,49 @@ def test_loader_process_sharding(prepared):
     assert sorted(seen) == list(range(6))
 
 
+def test_loader_dist_iter_semantics(prepared):
+    """DistIterSampler parity (reference data_sampler.py:13-60): for a
+    given (seed, epoch) the shuffled index stream is ONE global permutation
+    of the enlarged+padded stream, processes' strided slices partition it
+    exactly, every process gets the same sample count, and a new epoch
+    reshuffles globally."""
+    ds = LRHRDataset(str(prepared), "img", 8, 32, split="train")
+
+    def stream(pi, P, epoch, ratio=1):
+        dl = DataLoader(ds, batch_size=1, shuffle=True, seed=7,
+                        process_index=pi, process_count=P,
+                        enlarge_ratio=ratio)
+        dl.set_epoch(epoch)
+        return list(dl._indices())
+
+    # n=6, P=2, ratio=1: total 6, equal 3-element shards partitioning a
+    # permutation of range(6)
+    s0, s1 = stream(0, 2, 0), stream(1, 2, 0)
+    assert len(s0) == len(s1) == 3
+    assert sorted(s0 + s1) == list(range(6))
+
+    # P=4 forces wraparound padding: ceil(6/4)*4 = 8 indices, all shards
+    # equal-length, every dataset index covered at least once
+    shards = [stream(pi, 4, 0) for pi in range(4)]
+    assert all(len(s) == 2 for s in shards)
+    flat = sorted(i for s in shards for i in s)
+    assert set(flat) <= set(range(6)) and len(flat) == 8
+    assert len(set(flat)) == 6  # wrap duplicates exactly 2 indices
+
+    # x3 enlargement: 18 indices per epoch, each dataset index 3 times
+    e = stream(0, 2, 0, ratio=3) + stream(1, 2, 0, ratio=3)
+    assert len(e) == 18 and all(e.count(i) == 3 for i in range(6))
+
+    # epochs reshuffle globally and deterministically
+    assert stream(0, 2, 1) != s0
+    assert stream(0, 2, 1) == stream(0, 2, 1)
+
+    # __len__ reflects enlargement + padding
+    dl = DataLoader(ds, batch_size=1, shuffle=True, process_count=2,
+                    enlarge_ratio=3)
+    assert len(dl) == 9
+
+
 def test_config_parse_and_debug(tmp_path):
     cfg = {
         "name": "unit", "phase": "train", "gpu_ids": [0],

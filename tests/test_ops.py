@@ -313,3 +313,42 @@ def test_sampler_scan_unroll_identity(monkeypatch):
         got = np.asarray(jax.jit(
             lambda c, r: engine.sample(denoise, c, r))(cond, rng))
         np.testing.assert_allclose(got, want, atol=1e-6)
+
+
+def test_scan_unroll_env_validation(monkeypatch):
+    """Bad FASTDIFFSR_TPU_SCAN_UNROLL values fail with an error naming the
+    env var instead of an opaque failure inside lax.scan (ADVICE r2)."""
+    import pytest
+
+    from fastdiffsr_tpu.diffusion.engine import default_scan_unroll
+
+    for bad in ("0", "-3", "two", "1.5"):
+        monkeypatch.setenv("FASTDIFFSR_TPU_SCAN_UNROLL", bad)
+        with pytest.raises(ValueError, match="FASTDIFFSR_TPU_SCAN_UNROLL"):
+            default_scan_unroll()
+    monkeypatch.setenv("FASTDIFFSR_TPU_SCAN_UNROLL", "4")
+    assert default_scan_unroll() == 4
+
+
+def test_unet_stats_barrier_name_validation():
+    """A stats_barrier entry that names no ResnetBlockWithAttn (typo, or a
+    stem/Downsample/Upsample index) must raise, not silently no-op — a
+    barrier A/B would otherwise time the baseline against itself
+    (ADVICE r2)."""
+    import pytest
+
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    rng = jax.random.PRNGKey(0)
+    kw = dict(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+              res_blocks=1, dropout=0.0)
+    x = jnp.zeros((1, 16, 16, 6))
+    lvl = jnp.ones((1,))
+    # valid names for this config: downs_1/downs_3 (downs_0 stem,
+    # downs_2 Downsample), mid_0/mid_1, ups_0/ups_1/ups_3/ups_4
+    # (ups_2 is the Upsample)
+    FastDiffSRUNet(**kw, stats_barrier="downs_1,mid_1,ups_0").init(
+        rng, x, lvl)
+    for bad in ("up_12", "downs_0", "downs_2", "ups_2", "mid_2"):
+        with pytest.raises(ValueError, match="stats_barrier"):
+            FastDiffSRUNet(**kw, stats_barrier=bad).init(rng, x, lvl)

@@ -33,12 +33,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from bench import build_flagship_net
     from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
                                           ScheduleBuffers)
-    from fastdiffsr_tpu.models import FastDiffSRUNet
-    from fastdiffsr_tpu.models.unet_fastdiffsr import (default_skip_concat,
-                                                       default_upsample_mode)
-    from fastdiffsr_tpu.ops.groupnorm import default_fused_norm
     from fastdiffsr_tpu.train import make_sample_fn
 
     B, H, W = 16, 256, 256
@@ -48,12 +45,9 @@ def main():
                                 "n_timestep": 20,
                                 "linear_start": 1e-6, "linear_end": 1e-2}))
 
-    def build(barrier: str):
-        return FastDiffSRUNet(dtype=jnp.bfloat16,
-                              fused_norm=default_fused_norm(),
-                              upsample_mode=default_upsample_mode(),
-                              skip_concat=default_skip_concat(),
-                              stats_barrier=barrier)
+    # the shared flagship builder so this A/B measures the exact graph
+    # bench.py reports (incl. FASTDIFFSR_TPU_QUANT — ADVICE r2)
+    build = build_flagship_net
 
     rng = jax.random.PRNGKey(0)
     base = build("")
