@@ -53,15 +53,70 @@ def build_flagship_net(stats_barrier: str = ""):
                           stats_barrier=stats_barrier)
 
 
+def arg_int(flag, default):
+    """--<flag> N override."""
+    import sys
+    if flag not in sys.argv:
+        return default
+    i = sys.argv.index(flag)
+    if i + 1 >= len(sys.argv):
+        raise SystemExit(f"{flag} requires a value")
+    return int(sys.argv[i + 1])
+
+
 def arg_batch(default):
     """--batch N override (default-mode throughput and --train)."""
-    import sys
-    if "--batch" not in sys.argv:
-        return default
-    i = sys.argv.index("--batch")
-    if i + 1 >= len(sys.argv):
-        raise SystemExit("--batch requires a value")
-    return int(sys.argv[i + 1])
+    return arg_int("--batch", default)
+
+
+def make_chained_sample_fn(engine, apply_fn, mesh=None):
+    """One jitted ``chained(params, cond, rng, n)`` that runs the T=20
+    sampler ``n`` times back-to-back (n is a DYNAMIC fori_loop bound, so
+    one compilation serves every rep count) with a full data dependence
+    between reps: each rep's cond is perturbed by 0.0*mean(previous
+    output) — a float multiply XLA must keep (x may be NaN/Inf), so every
+    element of rep i must exist before rep i+1 launches and no rep can be
+    elided. A full reduce, not a scalar slice, is required — see the
+    ups_lab slice-propagation note in BASELINE.md.
+
+    This is the tunnel-robust timing harness (VERDICT r2 weak #1): the
+    axon tunnel adds ~2-25 ms per dispatch, its D2H floor wobbles by
+    hundreds of ms between minutes, and it passes through multi-minute
+    degraded phases. With n sampler runs inside ONE dispatch the host
+    round-trip is paid once per block; timing blocks at TWO rep counts
+    and differencing (t(2R)-t(R)) cancels the per-block overhead exactly
+    instead of estimating it. Per-rep RNG keys are folded from the rep
+    index exactly like the val CLI folds per-image keys."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdiffsr_tpu.diffusion.engine import (rng_is_batched,
+                                                 _fold_in_per_key)
+
+    def denoiser(params):
+        def fn(x_in, level):
+            return apply_fn(params, x_in, level, None)
+        return fn
+
+    def chained(params, cond, rng, n):
+        def body(i, c):
+            key = (_fold_in_per_key(rng, i) if rng_is_batched(rng)
+                   else jax.random.fold_in(rng, i))
+            out = engine.sample(denoiser(params), c, key)
+            return cond + 0.0 * jnp.mean(out)
+
+        # exactly ``n`` sampler executions; the returned carry is
+        # cond-shaped so the block's D2H cost matches a product fetch
+        return jax.lax.fori_loop(0, n, body, cond)
+
+    if mesh is None:
+        return jax.jit(chained)
+
+    from fastdiffsr_tpu.parallel import batch_sharding, replicated_sharding
+    repl = replicated_sharding(mesh)
+    data = batch_sharding(mesh)
+    return jax.jit(chained, in_shardings=(repl, data, data, repl),
+                   out_shardings=data)
 
 
 def bench_full():
@@ -221,9 +276,6 @@ def main():
 
     from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
                                           ScheduleBuffers)
-    from fastdiffsr_tpu.models import FastDiffSRUNet
-    from fastdiffsr_tpu.ops.groupnorm import default_fused_norm
-    from fastdiffsr_tpu.train import make_sample_fn
 
     backend = jax.default_backend()
     # batch size per chip: v5e has 16 GB HBM; 256x256x6 activations through
@@ -251,7 +303,6 @@ def main():
         from fastdiffsr_tpu.parallel import make_mesh
         mesh = make_mesh(n_dev)
         B = B * n_dev
-    sample_fn = make_sample_fn(engine, apply_fn, mesh=mesh)
 
     cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32, -1.0, 1.0)
 
@@ -263,27 +314,45 @@ def main():
         return pad_batch_with_keys(cond, B, jax.random.fold_in(rng, i),
                                    0)[1]
 
+    # timing methodology (VERDICT r2 weak #1 — the official number must
+    # survive axon-tunnel weather):
+    # - sampler runs chained INSIDE one jitted program (dynamic fori_loop
+    #   bound): per-block host round-trips (2-25 ms each, multi-second
+    #   during degraded tunnel phases) are paid once per block, not once
+    #   per rep
+    # - blocks at TWO rep counts (R and 2R) interleaved; the reported time
+    #   is min(t_2R) - min(t_R): differencing cancels the per-block
+    #   dispatch+D2H overhead EXACTLY (the trivial-program floor estimate
+    #   wobbles by hundreds of ms between minutes), and per-count minima
+    #   discard degraded-phase blocks
+    n_rep = arg_int("--reps", 5)
+    n_blocks = arg_int("--blocks", 3)
+    chained = make_chained_sample_fn(engine, apply_fn, mesh=mesh)
+
     # warmup / compile (np.asarray = hard host sync; on the axon tunnel
     # block_until_ready alone has proven unreliable for timing)
-    out = np.asarray(sample_fn(params, cond, keys_for(-1 % 2**31)))
+    np.asarray(chained(params, cond, keys_for(-1 % 2**31), 1))
 
-    # two timed blocks, report the faster: the axon tunnel occasionally
-    # passes through multi-minute degraded phases (BASELINE.md
-    # vmem_check episode) and a single block can land entirely inside one
-    n_rep = 5
-    dt = float("inf")
-    for _ in range(2):
-        t0 = time.time()
-        for i in range(n_rep):
-            out = sample_fn(params, cond, keys_for(i))
-        out = np.asarray(out)
-        dt = min(dt, time.time() - t0)
+    t_lo, t_hi = [], []
+    for i in range(n_blocks):
+        for n, acc in ((n_rep, t_lo), (2 * n_rep, t_hi)):
+            t0 = time.time()
+            np.asarray(chained(params, cond, keys_for(i), n))
+            acc.append(time.time() - t0)
+    import sys
+    dt = max(min(t_hi) - min(t_lo), 1e-9)
+    print(f"blocks R={n_rep}: {[f'{t:.3f}' for t in t_lo]}, "
+          f"2R: {[f'{t:.3f}' for t in t_hi]}; "
+          f"implied per-block overhead "
+          f"{(min(t_lo) - dt) * 1e3:.0f} ms", file=sys.stderr)
 
     imgs_per_sec = n_rep * B / dt / n_dev
     print(json.dumps({
         "metric": "sr_images_per_sec_per_chip_64to256_T20",
         "value": round(float(imgs_per_sec), 3),
-        "unit": f"images/sec/chip (batch {B}, {n_dev} chip(s), {backend})",
+        "unit": f"images/sec/chip (batch {B}, {n_dev} chip(s), {backend}; "
+                f"min(t_2R)-min(t_R) over {n_blocks} interleaved block "
+                f"pairs, R={n_rep} in-graph chained reps)",
         "vs_baseline": round(float(imgs_per_sec) / REF_IMAGES_PER_SEC_EST, 2),
     }))
 

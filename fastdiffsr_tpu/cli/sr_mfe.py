@@ -278,7 +278,21 @@ def main(argv=None):
                         help="evaluate the EMA shadow params instead of the "
                              "raw params (val phase; default off for "
                              "reference parity)")
+    parser.add_argument("-dist", action="store_true",
+                        help="multi-host SPMD: join the jax.distributed "
+                             "cluster (auto-detected on TPU pods, or "
+                             "FASTDIFFSR_TPU_COORD/NPROCS/PROC_ID env "
+                             "vars), build one DP mesh over every "
+                             "process's devices, rank-split the loader "
+                             "(the reference's -launcher pytorch + DDP, "
+                             "EDiffSR train.py:28-40)")
     args = parser.parse_args(argv)
+
+    if args.dist:
+        # must run before ANY jax device access (config.parse probes
+        # local_device_count, which initializes the backend)
+        from ..parallel import multihost as _mh
+        _mh.initialize_from_env()
 
     from ..config import parse, dict2str, infer_scale
     from ..utils.logging import setup_logger, make_tb_writer
@@ -301,6 +315,7 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from ..parallel import multihost
     from ..data import create_dataset, create_dataloader
     from ..parallel import auto_mesh, shard_batch
     from ..train import create_train_state, make_train_step
@@ -311,10 +326,31 @@ def main(argv=None):
 
     scale = infer_scale(opt)
     n_dev = jax.local_device_count()
-    # DP mesh = largest batch divisor that fits the devices
+    dist = jax.process_count() > 1
+    is_main = jax.process_index() == 0
+    # DP mesh: multi-host -> one global mesh over every process's devices;
+    # single-host -> largest batch divisor that fits the local devices
     bsz = int(opt["datasets"]["train"]["batch_size"] or 1)
-    mesh = auto_mesh(bsz)
-    logger.info(f"devices: {n_dev} ({jax.default_backend()}), "
+    if dist:
+        if bsz % jax.device_count():
+            raise ValueError(
+                f"-dist: batch_size {bsz} must be divisible by the global "
+                f"device count {jax.device_count()}")
+        mesh = multihost.global_mesh()
+    else:
+        mesh = auto_mesh(bsz)
+
+    def repl(tree):
+        """Host pytree -> mesh-replicated global arrays (multi-host safe);
+        identity in single-process mode (device placement is implicit)."""
+        return multihost.replicate(tree, mesh) if dist else tree
+
+    def host_scalar(x):
+        return float(multihost.fetch_replicated(x)) if dist else float(x)
+
+    logger.info(f"devices: {n_dev} local / {jax.device_count()} global "
+                f"({jax.default_backend()}), "
+                f"processes: {jax.process_count()}, "
                 f"mesh: {mesh.devices.size if mesh else 1}, "
                 f"scale x{scale}")
 
@@ -336,14 +372,18 @@ def main(argv=None):
             state = load_state(opt["path"]["resume_state"], state)
             logger.info(f"resumed from {opt['path']['resume_state']} at "
                         f"step {int(state.step)}")
+        current_step = int(state.step)
+        current_epoch = int(state.epoch)
+        # multi-host: every process holds the same host state (same init
+        # seed / same checkpoint file); replicate it onto the global mesh
+        state = repl(state)
 
         train_set = create_dataset(opt["datasets"]["train"], "train")
         train_loader = create_dataloader(train_set,
-                                         opt["datasets"]["train"], "train")
+                                         opt["datasets"]["train"], "train",
+                                         shard_by_process=dist)
         n_iter = int(train_opt["n_iter"])
         rng = jax.random.PRNGKey(42)
-        current_step = int(state.step)
-        current_epoch = int(state.epoch)
 
         # opt-in device-resident dataset (datasets.train.device_cache):
         # the uint8 tiles live in HBM; index/normalize/hflip happen inside
@@ -365,6 +405,11 @@ def main(argv=None):
                 "FASTDIFFSR_TPU_UPLOAD_CHUNK", "1024"))
 
             def put(a):
+                if dist:
+                    # jax.device_put cannot address remote devices; every
+                    # process reads the same pack file and contributes its
+                    # local replicas (parallel/multihost.py)
+                    return multihost.replicate(np.asarray(a), mesh)
                 return (jax.device_put(a, sharding) if sharding
                         else jax.device_put(a))
 
@@ -413,15 +458,14 @@ def main(argv=None):
                           else train_loader):
                 if current_step >= n_iter:
                     break
+                step_rng = repl(jax.random.fold_in(rng, current_step))
                 if use_cache:
-                    state, metrics = cached_step(
-                        state, device_data,
-                        jax.random.fold_in(rng, current_step))
+                    state, metrics = cached_step(state, device_data,
+                                                 step_rng)
                 else:
                     if mesh is not None:
                         batch = shard_batch(batch, mesh)
-                    state, metrics = step_fn(
-                        state, batch, jax.random.fold_in(rng, current_step))
+                    state, metrics = step_fn(state, batch, step_rng)
                 current_step += 1
                 loss_window.append(metrics["l_pix"])
 
@@ -431,8 +475,9 @@ def main(argv=None):
                     # leaves nothing to denoise), so ~5% of single-step
                     # prints sit at 0.798 on a perfectly healthy model —
                     # the mean is the signal to watch
-                    l_pix = float(metrics["l_pix"])
-                    l_avg = float(np.mean([float(x) for x in loss_window]))
+                    l_pix = host_scalar(metrics["l_pix"])
+                    l_avg = float(np.mean([host_scalar(x)
+                                           for x in loss_window]))
                     loss_window.clear()
                     logger.info(f"<epoch:{current_epoch:3d}, "
                                 f"iter:{current_step:8,d}> l_pix: "
@@ -441,14 +486,25 @@ def main(argv=None):
                         tb.add_scalar("l_pix", l_pix, current_step)
                         tb.add_scalar("l_pix_avg", l_avg, current_step)
 
-                if current_step % int(train_opt["val_freq"]) == 0:
+                if (current_step % int(train_opt["val_freq"]) == 0
+                        and is_main):
+                    # multi-host: validation runs on process 0 only over
+                    # its LOCAL devices with host-fetched params (the
+                    # reference's `if rank <= 0` rule, EDiffSR
+                    # train.py:270); other processes run ahead and block
+                    # on their next SPMD dispatch until proc 0 rejoins
+                    val_params = state.ema_or_params(args.use_ema)
+                    val_mesh = "auto"
+                    if dist:
+                        val_params = jax.tree_util.tree_map(
+                            multihost.fetch_replicated, val_params)
+                        val_mesh = None
                     result_path = os.path.join(opt["path"]["results"],
                                                str(current_epoch))
                     os.makedirs(result_path, exist_ok=True)
                     res = run_validation(
-                        opt, eng_val, apply_fn,
-                        state.ema_or_params(args.use_ema), result_path,
-                        val_logger, scale=scale,
+                        opt, eng_val, apply_fn, val_params, result_path,
+                        val_logger, mesh=val_mesh, scale=scale,
                         wandb_logger=wandb_logger)
                     if tb and res:
                         for k, v in res.items():
@@ -460,20 +516,27 @@ def main(argv=None):
                 if current_step % int(
                         train_opt["save_checkpoint_freq"]) == 0:
                     state = state.replace(
-                        epoch=jnp.asarray(current_epoch, jnp.int32))
-                    path = save_state(state, opt["path"]["checkpoint"],
-                                      it=current_step, epoch=current_epoch)
-                    logger.info(f"saved checkpoint {path}")
-                    if wandb_logger is not None and args.log_wandb_ckpt:
-                        wandb_logger.log_checkpoint(current_epoch,
-                                                    current_step,
-                                                    ckpt_path=path)
+                        epoch=repl(jnp.asarray(current_epoch, jnp.int32)))
+                    if is_main:
+                        path = save_state(state, opt["path"]["checkpoint"],
+                                          it=current_step,
+                                          epoch=current_epoch)
+                        logger.info(f"saved checkpoint {path}")
+                        if (wandb_logger is not None
+                                and args.log_wandb_ckpt):
+                            wandb_logger.log_checkpoint(current_epoch,
+                                                        current_step,
+                                                        ckpt_path=path)
 
-        state = state.replace(epoch=jnp.asarray(current_epoch, jnp.int32))
-        save_state(state, opt["path"]["checkpoint"], it=current_step,
-                   epoch=current_epoch)
+        state = state.replace(
+            epoch=repl(jnp.asarray(current_epoch, jnp.int32)))
+        if is_main:
+            save_state(state, opt["path"]["checkpoint"], it=current_step,
+                       epoch=current_epoch)
         logger.info("training complete")
     else:  # val
+        if dist and not is_main:
+            return  # eval is single-host work; extra processes exit
         if opt["path"]["resume_state"]:
             from ..train.checkpoint import load_params_only
             params = load_params_only(opt["path"]["resume_state"],

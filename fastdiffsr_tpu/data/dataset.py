@@ -169,8 +169,15 @@ class LRHRDataset:
         return out
 
 
-def _maybe_flip(sample: dict, rng: np.random.Generator) -> dict:
-    """One flip draw applied consistently to every image in the sample."""
+def _maybe_flip(sample: dict, seed: int, epoch: int) -> dict:
+    """One flip draw applied consistently to every image in the sample.
+
+    The draw is keyed by (seed, epoch, dataset index) — NOT by position in
+    a per-process stream — so the augmented sample is identical no matter
+    which process loads it or where it lands in a batch (required for the
+    single-process == multi-process training equality of
+    tests/test_multihost.py)."""
+    rng = np.random.default_rng((seed, epoch, int(sample["Index"])))
     if rng.random() < 0.5:
         sample = {k: (np.ascontiguousarray(v[:, ::-1, :])
                       if isinstance(v, np.ndarray) and v.ndim == 3 else v)
@@ -188,13 +195,22 @@ class DataLoader:
     Sharded shuffling implements the reference DistIterSampler semantics
     (EDiffSR/codes/data/data_sampler.py:13-60): every epoch draws ONE
     epoch-seeded global permutation — identical on every process because
-    it depends only on (seed, epoch) — of ``ceil(n*ratio/P)*P`` indices
-    taken modulo n (the ×``enlarge_ratio`` stream with wraparound padding
-    so every process gets exactly the same number of samples; unequal
-    shards would desynchronize lockstep SPMD steps), and each process
-    reads its ``process_index``-strided slice. Processes iterating in
-    step therefore partition each epoch's permutation exactly
+    it depends only on (seed, epoch) — of the ×``enlarge_ratio`` index
+    stream taken modulo n, wraparound-padded so every process gets
+    exactly the same number of samples (unequal shards would
+    desynchronize lockstep SPMD steps). Processes iterating in step
+    therefore partition each epoch's permutation exactly
     (tests/test_data_config.py::test_loader_dist_iter_semantics).
+
+    Split rule: with P processes the stream is padded to whole GLOBAL
+    batches (P × batch_size) and process p takes the p-th contiguous
+    batch_size sub-block of every global batch window — not the
+    reference's element stride. Both rules partition the permutation;
+    the block rule additionally makes the global batch that
+    ``multihost.shard_local_batch`` assembles (process rows concatenate
+    in process order) bit-identical to the single-process batch drawn
+    from the same permutation, so multi-process training is testably
+    equivalent to single-process (tests/test_multihost.py loss parity).
     """
 
     def __init__(self, dataset: LRHRDataset, batch_size: int = 1,
@@ -231,30 +247,42 @@ class DataLoader:
     def __len__(self):
         if self.shuffle:
             n = -(-len(self.dataset) * self.enlarge_ratio
-                  // self.process_count)
+                  // self._pad_unit()) * self._pad_unit() \
+                // self.process_count
         else:
             n = len(self.dataset) // self.process_count
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
+    def _pad_unit(self) -> int:
+        # multi-process: pad the shuffled stream to whole global batches
+        # (see the class docstring's split rule); single-process keeps the
+        # exact ×ratio stream length (tail handled by drop_last)
+        if self.process_count > 1:
+            return self.process_count * self.batch_size
+        return 1
+
     def _indices(self) -> np.ndarray:
         n = len(self.dataset)
+        P = self.process_count
         if self.shuffle:
-            # global permutation of the (enlarged, P-padded) index stream,
+            # global permutation of the (enlarged, padded) index stream,
             # mod n — identical across processes for a given (seed, epoch)
-            total = (-(-n * self.enlarge_ratio // self.process_count)
-                     * self.process_count)
+            unit = self._pad_unit()
+            total = -(-n * self.enlarge_ratio // unit) * unit
             rng = np.random.default_rng(self.seed + self.epoch)
             idx = rng.permutation(total) % n
-        else:
-            idx = np.arange(n)
-        return idx[self.process_index::self.process_count]
+            if P == 1:
+                return idx
+            # process p <- the p-th batch_size block of each global batch
+            return idx.reshape(-1, P, self.batch_size)[
+                :, self.process_index, :].reshape(-1)
+        idx = np.arange(n)
+        return idx[self.process_index::P]
 
     def __iter__(self) -> Iterator[dict]:
-        aug_rng = np.random.default_rng(
-            (self.seed + 1) * 7919 + self.epoch * 104729
-            + self.process_index)
+        aug_epoch = self.epoch
         idx = self._indices()
         batches = []
         for start in range(0, len(idx), self.batch_size):
@@ -286,7 +314,8 @@ class DataLoader:
                 for chunk in batches:
                     samples = fetch(chunk)
                     if self.dataset.split == "train":
-                        samples = [_maybe_flip(s, aug_rng) for s in samples]
+                        samples = [_maybe_flip(s, self.seed, aug_epoch)
+                                   for s in samples]
                     batch = {k: np.stack([s[k] for s in samples])
                              for k in samples[0]}
                     q.put(batch)
@@ -321,14 +350,30 @@ def create_dataset(dataset_opt: dict, phase: str) -> LRHRDataset:
 
 
 def create_dataloader(dataset: LRHRDataset, dataset_opt: dict,
-                      phase: str) -> DataLoader:
+                      phase: str,
+                      shard_by_process: bool = False) -> DataLoader:
     """train: cfg batch/shuffle; val: batch=1 sequential
-    (reference data/__init__.py:7-21)."""
+    (reference data/__init__.py:7-21).
+
+    ``shard_by_process`` (multi-host SPMD mode, cli/sr_mfe.py -dist): the
+    configured batch_size is the GLOBAL batch; this process's loader
+    yields its batch_size/process_count rows of it (the reference's
+    per-rank batch split, EDiffSR data/__init__.py:10-19)."""
     if phase == "train":
+        bsz = int(dataset_opt["batch_size"])
+        if shard_by_process:
+            import jax
+            P = jax.process_count()
+            if bsz % P:
+                raise ValueError(
+                    f"batch_size {bsz} must divide evenly over "
+                    f"{P} processes")
+            bsz //= P
         return DataLoader(dataset,
-                          batch_size=dataset_opt["batch_size"],
+                          batch_size=bsz,
                           shuffle=bool(dataset_opt.get("use_shuffle", True)),
                           num_workers=dataset_opt.get("num_workers") or 1,
+                          shard_by_process=shard_by_process,
                           enlarge_ratio=int(
                               dataset_opt.get("dataset_enlarge_ratio")
                               or 1))

@@ -109,9 +109,21 @@ class IRSDE:
         return t, mean + noise * self.sigma_bar(t)
 
     def noise_state(self, tensor, rng):
-        """x_T ~ LQ + max_sigma * eps (sde_utils.py:323)."""
-        return tensor + jax.random.normal(rng, tensor.shape,
-                                          jnp.float32) * self.b.max_sigma
+        """x_T ~ LQ + max_sigma * eps (sde_utils.py:323).
+
+        ``rng`` may be one key or a (B,)/(B,2) batch of per-image keys
+        (the engine's batched-rng contract, diffusion/engine.py): with
+        per-image keys the noise stream is a function of each image's own
+        key, so restores are invariant to batch grouping — the basis of
+        the DP-meshed EDiffSR eval path. At batch 1 the two forms draw
+        identical values (jax.random.normal of (1,h,w,c) and (h,w,c) use
+        the same bit stream)."""
+        from .engine import rng_is_batched, _normal_per_key
+        if rng_is_batched(rng):
+            eps = _normal_per_key(rng, tensor.shape)
+        else:
+            eps = jax.random.normal(rng, tensor.shape, jnp.float32)
+        return tensor + eps * self.b.max_sigma
 
     # ------------------------------------------------------------------ #
     # reverse dynamics
@@ -180,6 +192,10 @@ class IRSDE:
         if noise_seq is not None:
             consts["noise"] = noise_seq[ts - 1]
 
+        from .engine import (rng_is_batched, _normal_per_key,
+                             _fold_in_per_key)
+        batched_rng = rng is not None and rng_is_batched(rng)
+
         def step(x, c):
             t = c["t"]
             noise_pred = noise_fn(x, mu, jnp.full((bsz,), t, jnp.float32))
@@ -190,6 +206,8 @@ class IRSDE:
             else:
                 if noise_seq is not None:
                     eps = c["noise"]
+                elif batched_rng:  # per-image keys (see noise_state)
+                    eps = _normal_per_key(_fold_in_per_key(rng, t), x.shape)
                 else:
                     eps = jax.random.normal(jax.random.fold_in(rng, t),
                                             x.shape, jnp.float32)

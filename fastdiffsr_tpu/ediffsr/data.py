@@ -377,10 +377,14 @@ def create_ediffsr_dataset(dataset_opt: dict):
     return _MODES[mode](dataset_opt)
 
 
-def create_ediffsr_loaders(opt) -> dict:
+def create_ediffsr_loaders(opt, shard_by_process: bool = False) -> dict:
     """train: cfg batch + shuffle; val: batch=1 sequential
-    (reference data/__init__.py:8-33; DDP rank-split handled by the
-    shared loader's process sharding)."""
+    (reference data/__init__.py:8-33).
+
+    ``shard_by_process`` (multi-host SPMD, -launcher pytorch): the
+    configured batch_size is the GLOBAL batch and this process's train
+    loader yields batch_size/process_count rows of it — the reference's
+    dist-aware batch split (data/__init__.py:10-19)."""
     loaders = {}
     # train.manual_seed drives the crop/augment RNG (the reference seeds
     # the global random module from it, train.py util.set_random_seed);
@@ -391,10 +395,19 @@ def create_ediffsr_loaders(opt) -> dict:
             ds_opt["seed"] = int(seed) + i
         ds = create_ediffsr_dataset(ds_opt)
         if ds_opt["phase"] == "train":
+            bsz = int(ds_opt.get("batch_size") or 2)
+            if shard_by_process:
+                import jax
+                P = jax.process_count()
+                if bsz % P:
+                    raise ValueError(f"batch_size {bsz} must divide "
+                                     f"evenly over {P} processes")
+                bsz //= P
             loaders["train"] = DataLoader(
-                ds, batch_size=int(ds_opt.get("batch_size") or 2),
+                ds, batch_size=bsz,
                 shuffle=bool(ds_opt.get("use_shuffle", True)),
                 num_workers=int(ds_opt.get("n_workers") or 1),
+                shard_by_process=shard_by_process,
                 enlarge_ratio=int(
                     ds_opt.get("dataset_enlarge_ratio") or 1))
         else:

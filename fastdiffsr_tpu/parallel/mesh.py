@@ -36,9 +36,15 @@ def auto_mesh(batch_size: int, devices=None) -> Optional[Mesh]:
     """Largest DP mesh that evenly divides ``batch_size``: the default
     mesh-selection rule shared by the train/val/infer CLIs (the reference's
     analogue is the gpu_ids list, model/networks.py:116-118). Returns None
-    when only one device would participate."""
+    when only one device would participate.
+
+    Considers only THIS process's devices (identical to jax.devices() in
+    single-process mode): auto_mesh is the local DP rule; multi-host paths
+    build the cross-process mesh explicitly (multihost.global_mesh),
+    because a mesh silently spanning remote devices would turn every
+    jitted call into a collective all processes must join."""
     if devices is None:
-        devices = jax.devices()
+        devices = jax.local_devices()
     b = int(batch_size)
     # largest divisor of batch_size that fits the device count (gcd was
     # wrong: batch 6 on 4 devices -> gcd 2, leaving a valid 3-chip mesh
@@ -57,7 +63,25 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def mesh_is_multiprocess(mesh: Mesh) -> bool:
+    """True when the mesh spans devices of more than one process (a
+    multi-host SPMD mesh): plain jax.device_put cannot address the remote
+    devices, so batch placement must assemble global arrays from each
+    process's local rows instead."""
+    return len({d.process_index for d in mesh.devices.flat}) > 1
+
+
 def shard_batch(batch, mesh: Mesh):
-    """Place a host batch dict onto the mesh, sharded on the leading axis."""
+    """Place a host batch dict onto the mesh, sharded on the leading axis.
+
+    Single-process mesh: ``batch`` is the full batch; device_put splits it.
+    Multi-process mesh: ``batch`` is THIS process's local rows (the
+    process-sharded loader's output) and the returned global arrays have
+    leading dim local_rows * process_count — i.e. the call transparently
+    degrades to :func:`multihost.shard_local_batch` (the reference's
+    per-rank batch split semantics)."""
+    if mesh_is_multiprocess(mesh):
+        from .multihost import shard_local_batch
+        return shard_local_batch(batch, mesh)
     sh = batch_sharding(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -51,6 +51,31 @@ def initialize(coordinator_address: Optional[str] = None,
                                process_id=process_id)
 
 
+def initialize_from_env() -> None:
+    """CLI hook (-dist): join the cluster using FASTDIFFSR_TPU_* env vars
+    when present, else jax.distributed auto-detection (TPU pods need no
+    configuration; a CPU test cluster sets all five).
+
+    FASTDIFFSR_TPU_COORD          coordinator host:port
+    FASTDIFFSR_TPU_NPROCS         number of processes
+    FASTDIFFSR_TPU_PROC_ID        this process's id
+    FASTDIFFSR_TPU_LOCAL_DEVICES  per-process device count (CPU testing)
+    FASTDIFFSR_TPU_DIST_PLATFORM  'cpu' to force the CPU backend
+    """
+    import os
+
+    def _int(name):
+        v = os.environ.get(name)
+        return int(v) if v else None
+
+    initialize(
+        coordinator_address=os.environ.get("FASTDIFFSR_TPU_COORD"),
+        num_processes=_int("FASTDIFFSR_TPU_NPROCS"),
+        process_id=_int("FASTDIFFSR_TPU_PROC_ID"),
+        local_device_count=_int("FASTDIFFSR_TPU_LOCAL_DEVICES"),
+        platform=os.environ.get("FASTDIFFSR_TPU_DIST_PLATFORM"))
+
+
 def global_mesh() -> Mesh:
     """1-D DP mesh over every device of every process."""
     return Mesh(np.asarray(jax.devices()), (DATA_AXIS,))

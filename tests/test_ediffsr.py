@@ -315,3 +315,45 @@ def test_irsde_full_reverse_loops_match_reference():
         noise_fn, jnp.asarray(xt), jnp.asarray(mu), jax.random.PRNGKey(0),
         ode=True))
     np.testing.assert_allclose(ours_ode, out_ode, atol=2e-5)
+
+
+def test_restore_batched_mesh_equals_per_image():
+    """The batched + DP-meshed restore path (ediffsr/train.py
+    make_restore_fn with per-image keys) is invariant to batch grouping
+    and to the mesh: batch-4 over a 4-device mesh == batch-2 unmeshed ==
+    the batch-1 per-image loop, image-for-image (VERDICT r2 next #3 —
+    the EDiffSR analogue of tests/test_mesh_sampler.py)."""
+    from fastdiffsr_tpu.ediffsr.train import (make_restore_fn,
+                                              restore_batched)
+    from fastdiffsr_tpu.parallel import make_mesh
+
+    sde = IRSDE(IRSDEBuffers.create(max_sigma=50, T=8, schedule="cosine",
+                                    eps=0.005))
+
+    def apply_fn(params, x, mu, t):
+        return params * jnp.tanh(x - mu) * (1 + t[:, None, None, None] / 8)
+
+    rng_np = np.random.default_rng(0)
+    n, size, scale = 6, 4, 2
+    samples = [{"LQ": rng_np.uniform(0, 1, (1, size, size, 3))
+                .astype(np.float32)} for _ in range(n)]
+    params = jnp.float32(0.3)
+    key = jax.random.PRNGKey(11)
+
+    def run(batch_size, mesh=None):
+        restore = make_restore_fn(sde, apply_fn, scale, "sde", mesh=mesh)
+        outs = []
+        start = 0
+        while start < n:
+            chunk = samples[start:start + batch_size]
+            outs.append(restore_batched(restore, params, chunk,
+                                        batch_size, key, start))
+            start += batch_size
+        return np.concatenate(outs, axis=0)
+
+    ref = run(1)                       # the reference-style per-image loop
+    assert ref.shape == (n, size * scale, size * scale, 3)
+    np.testing.assert_allclose(run(2), ref, atol=1e-5)
+    np.testing.assert_allclose(run(4), ref, atol=1e-5)  # incl. padded tail
+    mesh = make_mesh(4)
+    np.testing.assert_allclose(run(4, mesh=mesh), ref, atol=1e-5)
