@@ -17,10 +17,12 @@ Batching is NHWC numpy with epoch-seeded shuffling (the TPU-native stand-in
 for DataLoader+DistIterSampler: each JAX process reads its
 ``process_index``-strided shard) and a background thread prefetcher.
 
-LMDB is not available in this environment; the packed alternative is the
-``.npy`` pack produced by ``fastdiffsr_tpu.data.prepare`` (datatype
-'npy'/'pack'), which memory-maps one contiguous uint8 array per split for
-maximum host-read throughput.
+Packed storage: datatype 'npy'/'pack' memory-maps one contiguous uint8
+array per split (fastest host reads, the TPU-native default); datatype
+'lmdb' reads the reference's LMDB layout (keys ``length`` +
+``{hr,sr,lr}_..._{idx:05d}`` holding TIFF-encoded bytes,
+LRHR_dataset.py:18-27,61-96) through the dependency-free
+``lmdb_lite.LmdbReader`` — the ``lmdb`` package itself is not needed.
 """
 
 from __future__ import annotations
@@ -86,6 +88,7 @@ class LRHRDataset:
         self.r_res = r_resolution
         self.split = split
         self.need_LR = need_LR
+        self._lmdb = None
 
         if datatype == "img":
             self.sr_path = get_paths_from_images(
@@ -113,9 +116,17 @@ class LRHRDataset:
             self.hr_mask_path = None
             self.dataset_len = int(self._pack["HR"].shape[0])
         elif datatype == "lmdb":
-            raise NotImplementedError(
-                "lmdb is unavailable in this environment; convert with "
-                "fastdiffsr_tpu.data.prepare to the 'npy' pack format")
+            from .lmdb_lite import LmdbReader
+            self._lmdb = LmdbReader(dataroot)
+            length = self._lmdb.get(b"length")
+            # the reference stores the running count under 'length'
+            # (prepare_data_mfe_dm.py:91-93); fall back to counting hr_*
+            # keys for files written by other tools
+            self.dataset_len = (int(length) if length is not None else
+                                sum(1 for k in self._lmdb.keys()
+                                    if k.startswith(b"hr_")))
+            self.hr_mask_path = None
+            self._pack = None
         else:
             raise NotImplementedError(f"data_type [{datatype}] unknown")
 
@@ -133,6 +144,13 @@ class LRHRDataset:
         With ``materialize=False`` a pack dataset returns the mmap-backed
         slices instead of host copies, so a chunked device upload never
         holds the full corpus in host RAM (folder datasets still stack)."""
+        if self._lmdb is not None:
+            sr = np.stack([self._lmdb_image(
+                f"sr_{self.l_res}_{self.r_res}_{i:05d}")
+                for i in range(self.data_len)])
+            hr = np.stack([self._lmdb_image(f"hr_{self.r_res}_{i:05d}")
+                           for i in range(self.data_len)])
+            return {"SR": sr, "HR": hr}
         if self._pack is not None:
             view = {"SR": self._pack["SR"][:self.data_len],
                     "HR": self._pack["HR"][:self.data_len]}
@@ -145,7 +163,31 @@ class LRHRDataset:
                        for p in self.hr_path[:self.data_len]])
         return {"SR": sr, "HR": hr}
 
+    def _lmdb_image(self, key: str) -> np.ndarray:
+        buf = self._lmdb.get(key)
+        if buf is None:
+            # the reference silently redraws a random index on a missing
+            # key (LRHR_dataset.py:76-90), which hides corruption; we fail
+            # loudly instead
+            raise KeyError(f"lmdb key {key!r} missing from the dataset")
+        import io
+
+        from PIL import Image
+        with Image.open(io.BytesIO(buf)) as im:
+            return np.asarray(im.convert("RGB"), dtype=np.uint8)
+
     def __getitem__(self, index: int) -> dict:
+        if self._lmdb is not None:
+            img_hr = self._lmdb_image(f"hr_{self.r_res}_{index:05d}")
+            img_sr = self._lmdb_image(
+                f"sr_{self.l_res}_{self.r_res}_{index:05d}")
+            img_lr = (self._lmdb_image(f"lr_{self.l_res}_{index:05d}")
+                      if self.need_LR else None)
+            out = {"HR": to_minus1_1(img_hr), "SR": to_minus1_1(img_sr),
+                   "Index": np.int32(index)}
+            if img_lr is not None:
+                out["LR"] = to_minus1_1(img_lr)
+            return out
         if self._pack is not None:
             img_sr = np.asarray(self._pack["SR"][index])
             img_hr = np.asarray(self._pack["HR"][index])
@@ -319,6 +361,8 @@ class DataLoader:
                     batch = {k: np.stack([s[k] for s in samples])
                              for k in samples[0]}
                     q.put(batch)
+            except BaseException as e:  # surface in the consumer thread
+                q.put(e)
             finally:
                 q.put(stop)
                 if pool is not None:
@@ -330,6 +374,8 @@ class DataLoader:
             item = q.get()
             if item is stop:
                 break
+            if isinstance(item, BaseException):
+                raise item
             yield item
 
 

@@ -14,6 +14,12 @@ Parity targets under EDiffSR/codes/data/:
 - ``BokehLQGT_dataset.py`` / ``BokehLQ_dataset.py`` — LQ/GT (+alpha) at
   equal resolution plus a meta file of (src_lens, tgt_lens, disparity).
 
+LQGT/GT/LQ roots ending in ``lmdb`` are read as BasicSR-style LMDB
+environments (raw uint8 bytes + meta_info.pkl, reference
+data/util.py:29-63) through ``data.lmdb_lite`` — no ``lmdb`` package
+needed; the stereo/bokeh variants are folder-only (the reference ships no
+lmdb configs for them).
+
 Images load as RGB float32 in [0, 1] (the EDiffSR pipeline's range; the
 main framework uses [-1,1]). The reference reads BGR via cv2 and converts
 to RGB at tensor time — end result identical. The bicubic conditioning
@@ -41,6 +47,43 @@ def _read01(path: str) -> np.ndarray:
     """RGB HWC float32 in [0,1] (reference util.read_img semantics minus
     the BGR detour)."""
     return _load_image(path).astype(np.float32) / 255.0
+
+
+def _open_source(root: str):
+    """-> (paths, read01_fn) for a folder tree or a BasicSR-style LMDB env
+    (root endswith 'lmdb': raw uint8 image bytes per key, shapes in
+    ``meta_info.pkl`` as 'C_H_W' strings — reference data/util.py:29-63)
+    read through the dependency-free lmdb_lite. BasicSR lmdb stores
+    cv2-order (BGR) pixels, so channels are reversed here to match
+    _read01's RGB (the reference flips BGR->RGB at tensor time,
+    LQGT_dataset.py:180-184)."""
+    if not str(root).endswith("lmdb"):
+        return get_paths_from_images(root), _read01
+
+    import pickle
+    with open(os.path.join(root, "meta_info.pkl"), "rb") as f:
+        meta = pickle.load(f)
+    keys = [str(k) for k in meta["keys"]]
+    sizes = list(meta["resolution"])
+    if len(sizes) == 1:
+        sizes = sizes * len(keys)
+    shapes = dict(zip(keys, sizes))
+    from ..data.lmdb_lite import LmdbReader
+    env = LmdbReader(root)
+
+    def read01(key: str) -> np.ndarray:
+        c, h, w = (int(s) for s in shapes[key].split("_"))
+        buf = env.get(key.encode("ascii"))
+        if buf is None:
+            raise KeyError(f"lmdb key {key!r} missing under {root}")
+        img = np.frombuffer(buf, np.uint8).reshape(h, w, c)
+        if c == 3:
+            img = img[..., ::-1]           # BGR (cv2 order) -> RGB
+        elif c == 1:
+            img = np.repeat(img, 3, axis=2)
+        return img.astype(np.float32) / 255.0
+
+    return keys, read01
 
 
 def _bilinear_resize(img: np.ndarray, h: int, w: int) -> np.ndarray:
@@ -101,9 +144,10 @@ class LQGTDataset(_EDiffSRDataset):
 
     def __init__(self, opt: dict):
         super().__init__(opt)
-        self.paths_GT = get_paths_from_images(opt["dataroot_GT"])
-        self.paths_LQ = (get_paths_from_images(opt["dataroot_LQ"])
-                         if opt.get("dataroot_LQ") else None)
+        self.paths_GT, self._read_GT = _open_source(opt["dataroot_GT"])
+        self.paths_LQ, self._read_LQ = (
+            _open_source(opt["dataroot_LQ"])
+            if opt.get("dataroot_LQ") else (None, None))
         if self.paths_LQ:
             assert len(self.paths_GT) == len(self.paths_LQ), \
                 "GT and LQ folder lengths differ"
@@ -113,14 +157,14 @@ class LQGTDataset(_EDiffSRDataset):
         return self.data_len
 
     def __getitem__(self, index: int) -> dict:
-        gt = _read01(self.paths_GT[index])
+        gt = self._read_GT(self.paths_GT[index])
         gt_path = self.paths_GT[index]
 
         if self.phase != "train":
             gt = modcrop(gt, self.scale)
 
         if self.paths_LQ:
-            lq = _read01(self.paths_LQ[index])
+            lq = self._read_LQ(self.paths_LQ[index])
             lq_path = self.paths_LQ[index]
         else:
             if self.phase == "train" and self.gt_size:
@@ -174,14 +218,14 @@ class GTDataset(_EDiffSRDataset):
 
     def __init__(self, opt: dict):
         super().__init__(opt)
-        self.paths_GT = get_paths_from_images(opt["dataroot_GT"])
+        self.paths_GT, self._read_GT = _open_source(opt["dataroot_GT"])
         self.data_len = self._truncate(len(self.paths_GT))
 
     def __len__(self):
         return self.data_len
 
     def __getitem__(self, index: int) -> dict:
-        gt = _read01(self.paths_GT[index])
+        gt = self._read_GT(self.paths_GT[index])
         if self.phase == "train" and self.gt_size:
             gs = int(self.gt_size)
             y, x = self._draw_crop(gt.shape[0], gt.shape[1], gs)
@@ -199,14 +243,14 @@ class LQDataset(_EDiffSRDataset):
 
     def __init__(self, opt: dict):
         super().__init__(opt)
-        self.paths_LQ = get_paths_from_images(opt["dataroot_LQ"])
+        self.paths_LQ, self._read_LQ = _open_source(opt["dataroot_LQ"])
         self.data_len = self._truncate(len(self.paths_LQ))
 
     def __len__(self):
         return self.data_len
 
     def __getitem__(self, index: int) -> dict:
-        lq = _read01(self.paths_LQ[index])
+        lq = self._read_LQ(self.paths_LQ[index])
         if self.phase != "train":
             lq = modcrop(lq, self.scale)
         elif self.lr_size:

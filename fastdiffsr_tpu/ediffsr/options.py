@@ -23,7 +23,11 @@ def parse_options(path: str, is_train: bool = True,
         phase = phase.split("_")[0]
         dataset["phase"] = phase
         dataset["scale"] = scale
-        dataset["data_type"] = "img"
+        # lmdb autodetect on the dataroot suffix (reference
+        # options.py:44-55); read through lmdb_lite, no lmdb package
+        is_lmdb = any(str(dataset.get(k) or "").endswith("lmdb")
+                      for k in ("dataroot_GT", "dataroot_LQ"))
+        dataset["data_type"] = "lmdb" if is_lmdb else "img"
 
     if opt.get("network_G") is not None:
         opt["network_G"].setdefault("setting", {})

@@ -14,11 +14,26 @@ Output layout (EDiffSR LQGT mode and data/prepare.py compatible):
     <out>/train/hr_64/*.png   <out>/train/lr_16/*.png
     <out>/val/hr_64/*.png     <out>/val/lr_16/*.png
 
+Corpus multiplication (VERDICT r2 #5): ``--stride S`` cuts overlapping
+tile-size crops at stride S instead of the 4 disjoint quadrants, and
+``--aug`` additionally writes all 8 dihedral (flip/rot) variants of each
+TRAIN crop — the augmentations the reference applies at load time
+(data/util.py:27-42 ``augment``) applied once at prepare time so the
+device-resident cache sees the multiplied corpus. The VAL split is always
+the 4 clean quadrants of the holdout scene, never strided or augmented,
+so val PSNR stays comparable across corpus sizes.
+
 Usage: python tools/make_ucm_native.py [--src DIR] [--out dataset/ucm_native]
+                                       [--stride S] [--aug]
 """
 
 import argparse
 import os
+
+# PIL Image.transpose codes for the 8-element dihedral group (identity last
+# seven): values mirror PIL.Image.Transpose but are inlined so the module
+# imports without PIL.
+_DIHEDRAL = [None, 0, 1, 2, 3, 4, 5, 6]  # None=identity; PIL transpose ids
 
 
 def main():
@@ -30,6 +45,10 @@ def main():
     ap.add_argument("--out", default="dataset/ucm_native")
     ap.add_argument("--holdout", default="tenniscourt15")
     ap.add_argument("--scale", type=int, default=4)
+    ap.add_argument("--stride", type=int, default=0,
+                    help="train-crop stride in px (0 = disjoint quadrants)")
+    ap.add_argument("--aug", action="store_true",
+                    help="write all 8 dihedral variants of each train crop")
     args = ap.parse_args()
 
     names = sorted(f for f in os.listdir(args.src)
@@ -42,18 +61,29 @@ def main():
         img = Image.open(os.path.join(args.src, name)).convert("RGB")
         w, h = img.size
         qw, qh = w // 2, h // 2
-        for qi, (x, y) in enumerate([(0, 0), (qw, 0), (0, qh), (qw, qh)]):
-            hr = img.crop((x, y, x + qw, y + qh))
-            lr = hr.resize((qw // args.scale, qh // args.scale),
-                           Image.BICUBIC)
-            for sub, im in [(f"hr_{qh}", hr), (f"lr_{qh // args.scale}", lr)]:
-                d = os.path.join(args.out, split, sub)
-                os.makedirs(d, exist_ok=True)
-                im.save(os.path.join(d, f"{stem}_q{qi}.png"))
-            if split == "val":
-                n_val += 1
-            else:
-                n_train += 1
+        if split == "train" and args.stride:
+            crops = [(x, y) for y in range(0, h - qh + 1, args.stride)
+                     for x in range(0, w - qw + 1, args.stride)]
+        else:
+            crops = [(0, 0), (qw, 0), (0, qh), (qw, qh)]
+        variants = _DIHEDRAL if (split == "train" and args.aug) else [None]
+        for qi, (x, y) in enumerate(crops):
+            base = img.crop((x, y, x + qw, y + qh))
+            for vi, t in enumerate(variants):
+                hr = base if t is None else base.transpose(t)
+                lr = hr.resize((qw // args.scale, qh // args.scale),
+                               Image.BICUBIC)
+                tag = f"{stem}_q{qi}" + (f"_a{vi}" if len(variants) > 1
+                                         else "")
+                for sub, im in [(f"hr_{qh}", hr),
+                                (f"lr_{qh // args.scale}", lr)]:
+                    d = os.path.join(args.out, split, sub)
+                    os.makedirs(d, exist_ok=True)
+                    im.save(os.path.join(d, f"{tag}.png"))
+                if split == "val":
+                    n_val += 1
+                else:
+                    n_train += 1
     print(f"wrote {n_train} train / {n_val} val tiles under {args.out}")
 
 
