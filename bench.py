@@ -41,7 +41,8 @@ def build_flagship_net(stats_barrier: str = ""):
     import jax.numpy as jnp
 
     from fastdiffsr_tpu.models import FastDiffSRUNet
-    from fastdiffsr_tpu.models.unet_fastdiffsr import (default_skip_concat,
+    from fastdiffsr_tpu.models.unet_fastdiffsr import (default_fold,
+                                                       default_skip_concat,
                                                        default_upsample_mode)
     from fastdiffsr_tpu.ops.groupnorm import default_fused_norm
     from fastdiffsr_tpu.ops.quant import default_quant
@@ -50,6 +51,7 @@ def build_flagship_net(stats_barrier: str = ""):
                           upsample_mode=default_upsample_mode(),
                           skip_concat=default_skip_concat(),
                           quant=default_quant(),
+                          fold=default_fold(),
                           stats_barrier=stats_barrier)
 
 
@@ -428,7 +430,9 @@ def main():
     net = build_flagship_net()
 
     rng = jax.random.PRNGKey(0)
-    params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]
+    # batch-2 init example: the param tree is batch-independent, and the
+    # fold modes (FASTDIFFSR_TPU_FOLD) require an even batch at trace time
+    params = net.init(rng, jnp.zeros((2, H, W, 6)), jnp.ones((2,)))["params"]
 
     def apply_fn(p, x_in, level, _rng):
         return net.apply({"params": p}, x_in, level, deterministic=True)

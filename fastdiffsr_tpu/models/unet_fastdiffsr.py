@@ -108,9 +108,31 @@ class Block(nn.Module):
     # for [x, skip]; roll params by in_perm channels (exact when the GN
     # group size divides the boundary — skip_concat='swap')
     in_perm: int = 0
+    # x arrives fold2-folded ((B/2,H,W,2C) per-image-contiguous); params
+    # stay unfolded, applied tiled/block-diagonally — exact (see fold2)
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        if self.fold:
+            from ..ops.groupnorm import _gn_swish_reference
+            c = x.shape[-1] // 2
+            scale, bias = _GNParams(c, name="norm")()
+            kernel, kbias = _Conv3Params(self.dim_out, c, name="conv")()
+            # per-image GN: 2x groups over 2C, params tiled — every group
+            # lies wholly inside one image's contiguous half
+            h = _gn_swish_reference(x, jnp.tile(scale, 2),
+                                    jnp.tile(bias, 2),
+                                    2 * self.groups, 1e-5)
+            if self.dropout > 0:
+                h = nn.Dropout(rate=self.dropout,
+                               deterministic=deterministic)(h)
+            return jax.lax.conv_general_dilated(
+                h.astype(self.dtype),
+                _blockdiag2(kernel).astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + jnp.tile(kbias, 2).astype(self.dtype)
         if self.in_perm:
             from ..ops.groupnorm import _gn_swish_reference
             dim = x.shape[-1]
@@ -193,23 +215,38 @@ class ResnetBlock(nn.Module):
     fused_norm: str = ""
     quant: str = ""
     in_perm: int = 0
+    fold: bool = False
     stats_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
                   fused_norm=self.fused_norm, quant=self.quant,
-                  in_perm=self.in_perm,
+                  in_perm=self.in_perm, fold=self.fold,
                   name="block1")(x, deterministic=deterministic)
         shift = nn.Dense(self.dim_out, dtype=self.dtype,
                          name="noise_dense")(noise_emb)
+        if self.fold:
+            # folded layout: image 2i's shift then image 2i+1's
+            shift = shift.reshape(shift.shape[0] // 2, 2 * self.dim_out)
         h = h + shift[:, None, None, :]
         if self.stats_barrier:
             h = jax.lax.optimization_barrier(h)
         h = Block(self.dim_out, groups=self.groups, dropout=self.dropout,
                   dtype=self.dtype, fused_norm=self.fused_norm,
-                  quant=self.quant,
+                  quant=self.quant, fold=self.fold,
                   name="block2")(h, deterministic=deterministic)
+        if self.fold:
+            if self.dim != self.dim_out:
+                kernel, kbias = _Conv3Params(self.dim_out, self.dim,
+                                             ksize=1, name="res_conv")()
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype),
+                    _blockdiag2(kernel).astype(self.dtype),
+                    (1, 1), "VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC")
+                ) + jnp.tile(kbias, 2).astype(self.dtype)
+            return h + x
         if self.in_perm:
             kernel, kbias = _Conv3Params(self.dim_out, self.dim,
                                          ksize=1, name="res_conv")()
@@ -299,14 +336,17 @@ class ResnetBlockWithAttn(nn.Module):
     fused_norm: str = ""
     quant: str = ""
     in_perm: int = 0
+    fold: bool = False
     stats_barrier: bool = False
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
+        assert not (self.fold and self.with_attn), \
+            "fold is only applied at attention-free levels"
         x = ResnetBlock(self.dim, self.dim_out, dropout=self.dropout,
                         groups=self.groups, dtype=self.dtype,
                         fused_norm=self.fused_norm, quant=self.quant,
-                        in_perm=self.in_perm,
+                        in_perm=self.in_perm, fold=self.fold,
                         stats_barrier=self.stats_barrier,
                         name="res_block")(x, noise_emb,
                                           deterministic=deterministic)
@@ -321,11 +361,53 @@ class Downsample(nn.Module):
 
     dim: int
     dtype: jnp.dtype = jnp.float32
+    fold: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.fold:
+            kernel, kbias = _Conv3Params(self.dim, x.shape[-1] // 2,
+                                         name="conv")()
+            return jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                _blockdiag2(kernel).astype(self.dtype),
+                (2, 2), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + jnp.tile(kbias, 2).astype(self.dtype)
         return nn.Conv(self.dim, (3, 3), strides=2, padding=1,
                        dtype=self.dtype, name="conv")(x)
+
+
+def fold2(x: jax.Array) -> jax.Array:
+    """Fold batch pairs into channels: (B,H,W,C) -> (B/2,H,W,2C) with a
+    per-image-contiguous channel layout (channels [0:C] = image 2i,
+    [C:2C] = image 2i+1). With block-diagonal kernels and doubled
+    GroupNorm group counts, every folded op computes exactly the
+    unfolded math while XLA's conv emitter sees a 2x-wider channel dim,
+    where it is measurably more FLOP-efficient (tools/conv_lab.py; the
+    VERDICT-r2 batch-folding lever)."""
+    b, h, w, c = x.shape
+    return x.reshape(b // 2, 2, h, w, c).transpose(0, 2, 3, 1, 4) \
+            .reshape(b // 2, h, w, 2 * c)
+
+
+def unfold2(y: jax.Array) -> jax.Array:
+    """Inverse of :func:`fold2`."""
+    b2, h, w, c2 = y.shape
+    c = c2 // 2
+    return y.reshape(b2, h, w, 2, c).transpose(0, 3, 1, 2, 4) \
+            .reshape(b2 * 2, h, w, c)
+
+
+def _blockdiag2(kernel: jax.Array) -> jax.Array:
+    """(kh,kw,ci,co) HWIO kernel -> (kh,kw,2ci,2co) block-diagonal: folded
+    image A reads only A's channels, B only B's. The zero off-blocks
+    double the raw MACs; the bet (conv_lab) is that the wide-channel
+    emitter's efficiency more than pays for them."""
+    z = jnp.zeros_like(kernel)
+    top = jnp.concatenate([kernel, z], axis=3)
+    bot = jnp.concatenate([z, kernel], axis=3)
+    return jnp.concatenate([top, bot], axis=2)
 
 
 def nearest_up2(x: jax.Array) -> jax.Array:
@@ -475,6 +557,11 @@ class FastDiffSRUNet(nn.Module):
     upsample_mode: str = ""
     skip_concat: str = ""
     quant: str = ""
+    # batch-fold the widest-spatial level (level 0) to 2x channels:
+    # '' (off), 'down' (stem + level-0 down blocks + first Downsample),
+    # 'all' (also level-0 up blocks + final block). Exact (see fold2);
+    # requires an even batch and no fused_norm/quant/skip_concat mode.
+    fold: str = ""
     # comma-separated ResnetBlockWithAttn names ('ups_12,mid_0', ...) whose
     # block1-conv -> block2-GN-stats fusion is cut with an
     # optimization_barrier (exact identity; see ResnetBlock.stats_barrier)
@@ -525,6 +612,16 @@ class FastDiffSRUNet(nn.Module):
         if self.quant not in ("", "w8a8", "w8a8s"):
             raise ValueError(
                 f"quant={self.quant!r} (want '', 'w8a8' or 'w8a8s')")
+        if self.fold not in ("", "down", "all"):
+            raise ValueError(
+                f"fold={self.fold!r} (want '', 'down' or 'all')")
+        if self.fold and (self.fused_norm or self.quant or self.skip_concat):
+            raise ValueError(
+                "fold composes only with the default norm/quant/"
+                "skip_concat modes")
+        if self.fold and x.shape[0] % 2:
+            raise ValueError(
+                f"fold needs an even batch, got {x.shape[0]}")
         if noise_level.ndim == 2:
             noise_level = noise_level[:, 0]
         x = x.astype(self.dtype)
@@ -544,31 +641,48 @@ class FastDiffSRUNet(nn.Module):
         num_mults = len(self.channel_mults)
 
         # --- down path (indices mirror the torch ModuleList) ---
+        fold_down = self.fold in ("down", "all")
         feats = []
         idx = 0
-        x = nn.Conv(inner, (3, 3), padding=1, dtype=self.dtype,
-                    name=f"downs_{idx}")(x)
+        if fold_down:
+            x = fold2(x)
+            kernel, kbias = _Conv3Params(inner, self.in_channel,
+                                         name=f"downs_{idx}")()
+            x = jax.lax.conv_general_dilated(
+                x, _blockdiag2(kernel).astype(self.dtype),
+                (1, 1), ((1, 1), (1, 1)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + jnp.tile(kbias, 2).astype(self.dtype)
+        else:
+            x = nn.Conv(inner, (3, 3), padding=1, dtype=self.dtype,
+                        name=f"downs_{idx}")(x)
         idx += 1
-        feats.append(x)
+        feats.append(unfold2(x) if fold_down else x)
         pre = inner
         feat_channels = [pre]
         for ind in range(num_mults):
             is_last = ind == num_mults - 1
+            fold_here = fold_down and ind == 0
             ch = inner * self.channel_mults[ind]
             for _ in range(self.res_blocks):
                 x = ResnetBlockWithAttn(
                     pre, ch, dropout=self.dropout, groups=self.norm_groups,
                     with_attn=False, dtype=self.dtype,
                     fused_norm=self.fused_norm, quant=self.quant,
+                    fold=fold_here,
                     stats_barrier=f"downs_{idx}" in barrier_set,
                     name=f"downs_{idx}")(x, t, deterministic=deterministic)
                 idx += 1
-                feats.append(x)
+                feats.append(unfold2(x) if fold_here else x)
                 feat_channels.append(ch)
                 pre = ch
             if not is_last:
-                x = Downsample(pre, dtype=self.dtype, name=f"downs_{idx}")(x)
+                x = Downsample(pre, dtype=self.dtype, fold=fold_here,
+                               name=f"downs_{idx}")(x)
                 idx += 1
+                if fold_here:
+                    # leave the folded stage at the 4x-smaller spatial size
+                    x = unfold2(x)
                 feats.append(x)
                 feat_channels.append(pre)
 
@@ -585,14 +699,31 @@ class FastDiffSRUNet(nn.Module):
             name="mid_1")(x, t, deterministic=deterministic)
 
         # --- up path with skip-concat ([x, skip] channel order as torch) ---
+        fold_up = self.fold == "all"
         idx = 0
         for ind in reversed(range(num_mults)):
             is_last = ind < 1
+            fold_here = fold_up and ind == 0
             ch = inner * self.channel_mults[ind]
             for _ in range(self.res_blocks + 1):
                 skip = feats.pop()
                 skip_ch = feat_channels.pop()
                 dim_in = pre + skip_ch
+                if fold_here:
+                    # fold the materialized concat so each image's
+                    # dim_in channels stay contiguous (GN groups must
+                    # not straddle images — see fold2)
+                    xin = fold2(jnp.concatenate([x, skip], axis=-1))
+                    x = unfold2(ResnetBlockWithAttn(
+                        dim_in, ch, dropout=self.dropout,
+                        groups=self.norm_groups, with_attn=False,
+                        dtype=self.dtype, fold=True,
+                        stats_barrier=f"ups_{idx}" in barrier_set,
+                        name=f"ups_{idx}")(
+                            xin, t, deterministic=deterministic))
+                    idx += 1
+                    pre = ch
+                    continue
                 # split/swap forms (see Block): exact only when every
                 # GN group lies wholly inside one concat part
                 mode_ok = (self.skip_concat in ("split", "swap")
@@ -620,10 +751,16 @@ class FastDiffSRUNet(nn.Module):
                              name=f"ups_{idx}")(x)
                 idx += 1
 
-        out = Block(self.out_channel, groups=self.norm_groups,
-                    dtype=self.dtype, fused_norm=self.fused_norm,
-                    quant=self.quant, name="final_block")(
-                        x, deterministic=deterministic)
+        if fold_up:
+            out = unfold2(Block(
+                self.out_channel, groups=self.norm_groups,
+                dtype=self.dtype, fold=True, name="final_block")(
+                    fold2(x), deterministic=deterministic))
+        else:
+            out = Block(self.out_channel, groups=self.norm_groups,
+                        dtype=self.dtype, fused_norm=self.fused_norm,
+                        quant=self.quant, name="final_block")(
+                            x, deterministic=deterministic)
         return out.astype(jnp.float32)
 
 
@@ -644,12 +781,30 @@ def unet_from_config(unet_opt: dict, dtype=jnp.float32) -> FastDiffSRUNet:
         upsample_mode=default_upsample_mode(),
         skip_concat=default_skip_concat(),
         quant=_default_quant(),
+        fold=default_fold(),
     )
 
 
 def _default_quant() -> str:
     from ..ops.quant import default_quant
     return default_quant()
+
+
+def default_fold() -> str:
+    """Level-0 batch-fold mode from the environment.
+
+    FASTDIFFSR_TPU_FOLD: '' (default — literal per-image channel widths),
+    'down' (fold the stem + level-0 down blocks + first Downsample to 2x
+    channels at half batch), 'all' (also the level-0 up blocks + final
+    block). Exact reformulations with the same parameter tree
+    (tests/test_ops.py::test_fold_parity); requires an even batch.
+    """
+    import os
+    mode = os.environ.get("FASTDIFFSR_TPU_FOLD", "")
+    if mode not in ("", "down", "all"):
+        raise ValueError(
+            f"FASTDIFFSR_TPU_FOLD={mode!r} (want '', 'down' or 'all')")
+    return mode
 
 
 def default_skip_concat() -> str:

@@ -352,3 +352,67 @@ def test_unet_stats_barrier_name_validation():
     for bad in ("up_12", "downs_0", "downs_2", "ups_2", "mid_2"):
         with pytest.raises(ValueError, match="stats_barrier"):
             FastDiffSRUNet(**kw, stats_barrier=bad).init(rng, x, lvl)
+
+
+@pytest.mark.parametrize("mode", ["down", "all"])
+def test_unet_fold_parity(mode):
+    """Whole-UNet forward: fold='down'/'all' (level-0 stage batch-folded
+    to 2x channels with block-diagonal kernels, tiled GN params, doubled
+    group counts) must match the default graph with shared params and an
+    identical parameter tree. Distinct per-sample noise levels exercise
+    the folded FiLM-shift reshape; a mult-2 first level exercises the
+    folded res_conv (dim != dim_out)."""
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    rng = jax.random.PRNGKey(11)
+    for kw in [dict(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+                    res_blocks=1, dropout=0.0),
+               dict(inner_channel=16, norm_groups=4, channel_mults=(2, 4),
+                    res_blocks=2, dropout=0.0)]:
+        x = jax.random.normal(rng, (4, 16, 16, 6))
+        lvl = jnp.array([0.7, 0.3, 0.9, 0.1])
+        net = FastDiffSRUNet(**kw)
+        params = net.init(rng, x, lvl)
+        want = net.apply(params, x, lvl)
+        folded = FastDiffSRUNet(**kw, fold=mode)
+        got = folded.apply(params, x, lvl)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+        p2 = folded.init(rng, x, lvl)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+        assert ([a.shape for a in jax.tree_util.tree_leaves(params)]
+                == [a.shape for a in jax.tree_util.tree_leaves(p2)])
+
+
+def test_fold2_roundtrip_and_layout():
+    from fastdiffsr_tpu.models.unet_fastdiffsr import fold2, unfold2
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (4, 3, 5, 7))
+    f = fold2(x)
+    assert f.shape == (2, 3, 5, 14)
+    # per-image-contiguous: first half of the channels is image 2i
+    np.testing.assert_array_equal(np.asarray(f[0, ..., :7]),
+                                  np.asarray(x[0]))
+    np.testing.assert_array_equal(np.asarray(f[0, ..., 7:]),
+                                  np.asarray(x[1]))
+    np.testing.assert_array_equal(np.asarray(unfold2(f)), np.asarray(x))
+
+
+def test_fold_rejects_odd_batch_and_mode_combos():
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    kw = dict(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+              res_blocks=1, dropout=0.0)
+    x = jax.random.normal(jax.random.PRNGKey(0), (3, 16, 16, 6))
+    lvl = jnp.array([0.7, 0.3, 0.5])
+    with pytest.raises(ValueError, match="even batch"):
+        FastDiffSRUNet(**kw, fold="down").init(jax.random.PRNGKey(0), x, lvl)
+    x2, lvl2 = x[:2], lvl[:2]
+    with pytest.raises(ValueError, match="composes only"):
+        FastDiffSRUNet(**kw, fold="down", skip_concat="split").init(
+            jax.random.PRNGKey(0), x2, lvl2)
+    with pytest.raises(ValueError, match="fold="):
+        FastDiffSRUNet(**kw, fold="bogus").init(
+            jax.random.PRNGKey(0), x2, lvl2)
