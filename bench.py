@@ -373,13 +373,15 @@ def bench_latency():
     """Batch-1 per-image sampling latency — the reference's metric
     (sr_mfe.py:279-284 / infer.py:112-113 print per-image seconds at
     batch 1). Complements the throughput number: batch 1 leaves most of
-    the chip idle, so latency-critical serving should still batch."""
+    the chip idle, so latency-critical serving should still batch.
+    Measured with the same in-graph chained-reps + interleaved-block
+    differencing as the default mode (on-device latency; a real
+    deployment pays no axon-tunnel dispatch)."""
     import jax
     import jax.numpy as jnp
 
     from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
                                           ScheduleBuffers)
-    from fastdiffsr_tpu.models import FastDiffSRUNet
     from fastdiffsr_tpu.train import make_sample_fn
 
     engine = DiffusionEngine(
@@ -389,24 +391,30 @@ def bench_latency():
     net = build_flagship_net()
     rng = jax.random.PRNGKey(0)
     H = W = 256
-    params = net.init(rng, jnp.zeros((1, H, W, 6)), jnp.ones((1,)))["params"]
+    params = net.init(rng, jnp.zeros((2, H, W, 6)), jnp.ones((2,)))["params"]
 
     def apply_fn(p, x_in, level, _r):
         return net.apply({"params": p}, x_in, level, deterministic=True)
 
     fn = make_sample_fn(engine, apply_fn)
     cond = jax.random.uniform(rng, (1, H, W, 3), jnp.float32, -1, 1)
-    np.asarray(fn(params, cond, rng))  # compile+sync
-    ts = []
-    for i in range(10):
-        t0 = time.time()
-        np.asarray(fn(params, cond, jax.random.fold_in(rng, i)))
-        ts.append(time.time() - t0)
+
+    def run_once(c, key):
+        return fn(params, c, key)
+
+    chained = jax.jit(chained_fori(run_once, cond))
+    np.asarray(chained(cond, rng, 1))  # compile+sync
+    n_rep, n_blocks = arg_int("--reps", 10), arg_int("--blocks", 3)
+    dt = diff_time(
+        lambda n, i: np.asarray(chained(cond, jax.random.fold_in(rng, i), n)),
+        n_rep, n_blocks, label="latency ")
+    lat = dt / n_rep
     print(json.dumps({
         "metric": "sr_latency_sec_per_image_64to256_T20_batch1",
-        "value": round(float(np.median(ts)), 4),
-        "unit": "sec/image (batch 1, median of 10)",
-        "vs_baseline": round(REF_LATENCY_SEC_EST / float(np.median(ts)), 2),
+        "value": round(float(lat), 4),
+        "unit": f"sec/image on-device (batch 1; min-diff of {n_blocks} "
+                f"interleaved block pairs, R={n_rep})",
+        "vs_baseline": round(REF_LATENCY_SEC_EST / float(lat), 2),
     }))
 
 

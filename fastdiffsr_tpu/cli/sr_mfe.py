@@ -144,6 +144,16 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
     # optional DDIM override via model.diffusion {sampler, ddim_steps,
     # ddim_eta} — capability beyond the reference schema, default ancestral
     diff_opt = (opt.get("model") or {}).get("diffusion") or {}
+    # model.diffusion.n_samples K (default 1 = reference semantics): draw K
+    # independent diffusion samples per image and average them before the
+    # metrics. The average estimates the posterior mean — the
+    # PSNR/MSE-optimal point estimate — trading away sampled texture;
+    # useful at extreme scales (x8) where single samples hallucinate.
+    # Per-sample keys fold (sample k, image index), so the output stays
+    # batch-invariant for every K.
+    n_samp = int(diff_opt.get("n_samples") or 1)
+    if n_samp < 1:
+        raise ValueError(f"model.diffusion.n_samples={n_samp} (want >= 1)")
     # cache the jitted sampler across validation passes: a fresh jit
     # wrapper per pass would recompile the whole T-step scan every
     # val_freq iters (~20-30 s each on the TPU)
@@ -180,7 +190,14 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
         cond, keys = pad_batch_with_keys(batch["SR"], full_b, rng, n)
         t0 = time.time()
         sr = sample_fn(params, cond, keys)
-        sr = np.asarray(jax.block_until_ready(sr))
+        sr = np.array(jax.block_until_ready(sr))  # writable (averaging)
+        for k in range(1, n_samp):
+            rng_k = jax.random.fold_in(rng, 0x5EED + k)
+            keys_k = pad_batch_with_keys(batch["SR"], full_b, rng_k, n)[1]
+            sr_k = sample_fn(params, cond, keys_k)
+            sr += np.asarray(jax.block_until_ready(sr_k))
+        if n_samp > 1:
+            sr /= n_samp
         dt = time.time() - t0
         dt_img = dt / full_b  # steady-state per-image time (padded lanes
         # still compute, so dividing by the true count would inflate tails)

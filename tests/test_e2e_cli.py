@@ -227,3 +227,45 @@ def test_train_device_cache_pack_chunked(tiny_run_env, monkeypatch):
     log = (exps[-1] / "logs" / "train.log").read_text()
     assert "device-resident dataset: 6 tiles" in log
     assert "l_pix" in log
+
+
+def test_val_sample_averaging(tiny_run_env, monkeypatch):
+    """TPU-native opt-in `model.diffusion.n_samples: K`: K independent
+    diffusion samples per image are averaged before the metrics (posterior
+    -mean estimate, the MSE/PSNR-optimal point estimate). The averaged
+    output must differ from the single-sample run, stay batch-invariant
+    (batch 1 == batch 2 image-for-image), and K=1 must reproduce the
+    default path exactly."""
+    root, cfg_path = tiny_run_env
+    monkeypatch.chdir(root)
+
+    from fastdiffsr_tpu.cli.sr_mfe import main
+
+    if not (root / "experiments").is_dir():
+        _clear_loggers()
+        main(["-p", "train", "-c", str(cfg_path)])
+    exps = sorted((root / "experiments").iterdir())
+    ckpts = list((exps[-1] / "checkpoint").iterdir())
+    ck = [p for p in ckpts if p.name.startswith("I6_E")][0]
+
+    cfg = json.loads(cfg_path.read_text())
+    cfg["phase"] = "val"
+    cfg["path"]["resume_state"] = str(ck)
+    cfg["datasets"]["val"]["data_len"] = 3
+
+    def run(tag, n_samples, batch_size):
+        cfg["model"]["diffusion"]["n_samples"] = n_samples
+        cfg["datasets"]["val"]["batch_size"] = batch_size
+        p = root / f"cfg_val_avg_{tag}.json"
+        p.write_text(json.dumps(cfg))
+        _clear_loggers()
+        main(["-p", "val", "-c", str(p)])
+        text = (exps[-1] / "logs" / "val.log").read_text()
+        lines = [ln for ln in text.splitlines() if "img " in ln][-3:]
+        return [ln.split(" (")[0].split("img ")[1] for ln in lines]
+
+    base = run("k1", 1, 1)
+    avg_b1 = run("k3b1", 3, 1)
+    avg_b2 = run("k3b2", 3, 2)
+    assert avg_b1 != base        # averaging must change the output
+    assert avg_b1 == avg_b2      # batch-invariant for K > 1
