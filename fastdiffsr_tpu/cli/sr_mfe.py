@@ -141,8 +141,10 @@ def run_validation(opt, engine_val, apply_fn, params, result_path, logger,
         if mesh is not None:
             logger.info(f"val sampler: DP mesh over "
                         f"{mesh.devices.size} devices (batch {full_b})")
-    # optional DDIM override via model.diffusion {sampler, ddim_steps,
-    # ddim_eta} — capability beyond the reference schema, default ancestral
+    # optional sampler override via model.diffusion {sampler: ancestral|
+    # ddim|dpm, ddim_steps, ddim_eta} — capability beyond the reference
+    # schema, default ancestral ('dpm' = DPM-Solver++(2M), deterministic,
+    # uses ddim_steps as its step count)
     diff_opt = (opt.get("model") or {}).get("diffusion") or {}
     # model.diffusion.n_samples K (default 1 = reference semantics): draw K
     # independent diffusion samples per image and average them before the

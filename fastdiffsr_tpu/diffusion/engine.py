@@ -440,6 +440,118 @@ class DiffusionEngine:
             return res2img(img, cond)
         return img
 
+    def sample_dpm(self,
+                   denoise_fn: DenoiseFn,
+                   cond: Optional[jax.Array],
+                   rng: jax.Array,
+                   steps: Optional[int] = None,
+                   shape: Optional[tuple] = None,
+                   init_noise: Optional[jax.Array] = None) -> jax.Array:
+        """DPM-Solver++(2M): deterministic multistep second-order solver
+        for the probability-flow ODE in the data-prediction formulation
+        (Lu et al. 2022, arXiv:2211.01095, Algorithm 2) — a speed/quality
+        knob beyond the reference (capability add, like
+        :meth:`sample_ddim`): second-order accuracy in the log-SNR step
+        usually beats DDIM at equal low step counts.
+
+        Same one-``lax.scan`` structure and timestep subsequence as
+        :meth:`sample_ddim`; all per-step coefficients are precomputed
+        host-side in float64. Uses the standard lower-order-final rule:
+        the first step (no history) and the final step (t_prev = -1,
+        h = inf) run first-order, which is exactly the DDIM eta=0 update.
+        ``rng`` draws only the initial noise (plain key or the per-image
+        batched-keys contract); the solver itself is deterministic.
+        """
+        import numpy as np
+
+        spec = self.spec
+        b = self.buffers
+        T = b.num_timesteps
+        steps = int(steps or T)
+        if shape is None:
+            assert cond is not None
+            shape = cond.shape
+        bsz = shape[0]
+
+        # descending timestep subsequence (same rule as sample_ddim)
+        ts = np.unique(np.linspace(0, T - 1, steps).round()
+                       .astype(np.int64))[::-1]
+        t_prev = np.append(ts[1:], -1)
+        ac = np.asarray(b.alphas_cumprod, np.float64)
+        a_cur = ac[ts]
+        a_prev = np.where(t_prev >= 0, ac[np.maximum(t_prev, 0)], 1.0)
+        al_cur, sg_cur = np.sqrt(a_cur), np.sqrt(1.0 - a_cur)
+        al_prev, sg_prev = np.sqrt(a_prev), np.sqrt(1.0 - a_prev)
+
+        # x_{i} = (sigma_i/sigma_{i-1}) x_{i-1} - alpha_i (e^{-h_i}-1) D
+        # with e^{-h} = (al_cur sg_prev)/(sg_cur al_prev); algebraically
+        #   coef_x = sg_prev/sg_cur,  coef_D = al_prev - al_cur*coef_x
+        # which stays finite at the final step (sg_prev=0 -> coef_D=1).
+        coef_x = sg_prev / sg_cur
+        coef_D = al_prev - al_cur * coef_x
+
+        # log-SNR steps h_i for the 2M history weights; the final h is
+        # +inf but that step is forced first-order below.
+        with np.errstate(divide="ignore"):
+            lam_cur = np.log(al_cur) - np.log(sg_cur)
+            lam_prev = np.where(t_prev >= 0,
+                                np.log(al_prev) - np.log(np.maximum(sg_prev,
+                                                                    1e-300)),
+                                np.inf)
+        h = lam_prev - lam_cur
+        n = len(ts)
+        w_cur, w_prev = np.ones(n), np.zeros(n)
+        for k in range(1, n):
+            if not np.isfinite(h[k]):       # lower-order final step
+                continue
+            r = h[k - 1] / h[k]
+            w_cur[k] = 1.0 + 1.0 / (2.0 * r)
+            w_prev[k] = -1.0 / (2.0 * r)
+
+        consts = {
+            "t": jnp.asarray(ts, jnp.int32),
+            "noise_level": jnp.asarray(al_cur, jnp.float32),
+            "sqrt_a_t": jnp.asarray(al_cur, jnp.float32),
+            "sqrt_1m_a_t": jnp.asarray(sg_cur, jnp.float32),
+            "coef_x": jnp.asarray(coef_x, jnp.float32),
+            "coef_D": jnp.asarray(coef_D, jnp.float32),
+            "w_cur": jnp.asarray(w_cur, jnp.float32),
+            "w_prev": jnp.asarray(w_prev, jnp.float32),
+        }
+
+        if rng_is_batched(rng):
+            rng_init, _ = _split_per_key(rng)
+            if init_noise is None:
+                init_noise = _normal_per_key(rng_init, shape)
+        elif init_noise is None:
+            init_noise = jax.random.normal(jax.random.split(rng)[0], shape,
+                                           jnp.float32)
+
+        def step(carry, c):
+            x, x0_prev = carry
+            if spec.conditioning == "discrete_t":
+                level = jnp.full((bsz,), c["t"], jnp.float32)
+            else:
+                level = jnp.full((bsz,), c["noise_level"], jnp.float32)
+            model_out = denoise_fn(self._pack(x, cond),
+                                   level).astype(jnp.float32)
+            if spec.prediction == "x0":
+                x0 = model_out
+            else:
+                x0 = (x - c["sqrt_1m_a_t"] * model_out) / c["sqrt_a_t"]
+            if spec.clip_denoised:
+                x0 = jnp.clip(x0, -1.0, 1.0)
+            D = c["w_cur"] * x0 + c["w_prev"] * x0_prev
+            x_next = c["coef_x"] * x + c["coef_D"] * D
+            return (x_next, x0), None
+
+        (img, _), _ = jax.lax.scan(step, (init_noise,
+                                          jnp.zeros_like(init_noise)),
+                                   consts, unroll=default_scan_unroll())
+        if spec.target_space == "residual" and cond is not None:
+            return res2img(img, cond)
+        return img
+
     def interpolate(self, denoise_fn: DenoiseFn, x1: jax.Array,
                     x2: jax.Array, rng: jax.Array,
                     t: Optional[int] = None, lam: float = 0.5) -> jax.Array:

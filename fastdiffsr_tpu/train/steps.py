@@ -176,7 +176,9 @@ def make_sample_fn(engine: DiffusionEngine,
     The whole T-step reverse loop compiles to one XLA program. ``cond`` is
     the bicubic-upsampled LR batch in [-1, 1]. ``sampler='ddim'`` switches
     to DDIM with ``ddim_steps`` UNet evals (<= T; deterministic when
-    ``ddim_eta=0``) — a speed knob the reference does not have.
+    ``ddim_eta=0``); ``sampler='dpm'`` to DPM-Solver++(2M) with the same
+    ``ddim_steps`` count (always deterministic) — speed knobs the
+    reference does not have.
 
     With a ``mesh`` the batch (and the per-image key array — mesh mode
     requires the batched-keys contract of :func:`pad_batch_with_keys`)
@@ -186,9 +188,10 @@ def make_sample_fn(engine: DiffusionEngine,
     per-image RNG keys make the output identical to the single-device
     sampler image-for-image (tests/test_mesh_sampler.py).
     """
-    if sampler not in ("ancestral", "ddim"):
-        raise ValueError(f"sampler={sampler!r} (want 'ancestral' or 'ddim')")
-    if sampler == "ddim" and return_trajectory:
+    if sampler not in ("ancestral", "ddim", "dpm"):
+        raise ValueError(
+            f"sampler={sampler!r} (want 'ancestral', 'ddim' or 'dpm')")
+    if sampler != "ancestral" and return_trajectory:
         raise ValueError("trajectory output is ancestral-only")
 
     def denoiser(params):
@@ -197,6 +200,9 @@ def make_sample_fn(engine: DiffusionEngine,
         return fn
 
     def sample(params, cond, rng):
+        if sampler == "dpm":
+            return engine.sample_dpm(denoiser(params), cond, rng,
+                                     steps=ddim_steps)
         if sampler == "ddim":
             return engine.sample_ddim(denoiser(params), cond, rng,
                                       steps=ddim_steps, eta=ddim_eta)
