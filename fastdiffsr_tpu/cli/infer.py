@@ -58,7 +58,14 @@ def main(argv=None):
     if mesh is not None:
         logger.info(f"infer sampler: DP mesh over {mesh.devices.size} "
                     f"devices")
-    sample_fn = make_sample_fn(eng_val, apply_fn, mesh=mesh)
+    # same optional sampler override as the val CLI: model.diffusion
+    # {sampler: ancestral|ddim|dpm, ddim_steps, ddim_eta}
+    diff_opt = (opt.get("model") or {}).get("diffusion") or {}
+    sample_fn = make_sample_fn(
+        eng_val, apply_fn, mesh=mesh,
+        sampler=diff_opt.get("sampler") or "ancestral",
+        ddim_steps=diff_opt.get("ddim_steps"),
+        ddim_eta=float(diff_opt.get("ddim_eta") or 0.0))
 
     result_path = opt["path"]["results"]
     os.makedirs(result_path, exist_ok=True)

@@ -64,3 +64,21 @@ def test_infer_cli_end_to_end(infer_env):
 
     log = (tmp_path / "exp" / "log" / "infer.log").read_text()
     assert re.search(r"mean latency: [\d.]+s over 2 images", log)
+
+
+def test_infer_cli_dpm_sampler_override(infer_env):
+    """model.diffusion.sampler: 'dpm' flows through the infer CLI too."""
+    import json as _json
+
+    tmp_path, cfg = infer_env
+    base = _json.loads(cfg.read_text())
+    base["model"]["diffusion"]["sampler"] = "dpm"
+    base["model"]["diffusion"]["ddim_steps"] = 3
+    base["path"]["results"] = str(tmp_path / "exp" / "results_dpm")
+    cfg2 = tmp_path / "infer_dpm.json"
+    cfg2.write_text(_json.dumps(base))
+
+    from fastdiffsr_tpu.cli.infer import main
+    main(["-c", str(cfg2)])
+    results = sorted((tmp_path / "exp" / "results_dpm").glob("*_sr.png"))
+    assert len(results) == 3
