@@ -71,6 +71,17 @@ def test_mesh_sampler_ddim_matches_single_device(setup):
     np.testing.assert_allclose(out_4, out_1, atol=5e-4, rtol=0)
 
 
+def test_mesh_sampler_dpm_matches_single_device(setup):
+    engine, apply_fn, params, cond, keys = setup
+    mesh = make_mesh(4)
+    single = make_sample_fn(engine, apply_fn, sampler="dpm", ddim_steps=4)
+    sharded = make_sample_fn(engine, apply_fn, mesh=mesh, sampler="dpm",
+                             ddim_steps=4)
+    out_1 = np.asarray(single(params, cond, keys))
+    out_4 = np.asarray(sharded(params, cond, keys))
+    np.testing.assert_allclose(out_4, out_1, atol=5e-4, rtol=0)
+
+
 def test_mesh_sampler_batch_grouping_invariance(setup):
     """Mesh output for a batch == concat of two half-batch mesh runs with
     global-index keys (the val/infer loop's contract)."""
