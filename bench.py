@@ -71,7 +71,7 @@ def arg_batch(default):
     return arg_int("--batch", default)
 
 
-def make_chained_sample_fn(engine, apply_fn, mesh=None):
+def make_chained_sample_fn(engine, apply_fn, mesh=None, sample_fn=None):
     """One jitted ``chained(params, cond, rng, n)`` that runs the T=20
     sampler ``n`` times back-to-back (n is a DYNAMIC fori_loop bound, so
     one compilation serves every rep count) with a full data dependence
@@ -88,7 +88,12 @@ def make_chained_sample_fn(engine, apply_fn, mesh=None):
     round-trip is paid once per block; timing blocks at TWO rep counts
     and differencing (t(2R)-t(R)) cancels the per-block overhead exactly
     instead of estimating it. Per-rep RNG keys are folded from the rep
-    index exactly like the val CLI folds per-image keys."""
+    index exactly like the val CLI folds per-image keys.
+
+    ``sample_fn(denoise_fn, cond, key)`` overrides the sampler (default
+    ``engine.sample``, the ancestral T=20 loop) — used by ``--sampler
+    ddim|dpm`` to time the step-skipping samplers under the same
+    harness."""
     import jax
     import jax.numpy as jnp
 
@@ -100,11 +105,13 @@ def make_chained_sample_fn(engine, apply_fn, mesh=None):
             return apply_fn(params, x_in, level, None)
         return fn
 
+    run = sample_fn if sample_fn is not None else engine.sample
+
     def chained(params, cond, rng, n):
         def body(i, c):
             key = (_fold_in_per_key(rng, i) if rng_is_batched(rng)
                    else jax.random.fold_in(rng, i))
-            out = engine.sample(denoiser(params), c, key)
+            out = run(denoiser(params), c, key)
             return cond + 0.0 * jnp.mean(out)
 
         # exactly ``n`` sampler executions; the returned carry is
@@ -419,11 +426,35 @@ def bench_latency():
 
 
 def main():
+    import os
+
     import jax
     import jax.numpy as jnp
 
     from fastdiffsr_tpu.diffusion import (DiffusionSpec, DiffusionEngine,
                                           ScheduleBuffers)
+
+    cache_dir = os.environ.get("FASTDIFFSR_TPU_CACHE")
+    if cache_dir:  # same opt-in persistent XLA compile cache as the CLIs
+        # (cli/sr_mfe.py build_all) — the sampler compile is 40-200s over
+        # a tunneled chip and the benched graph rarely changes
+        try:
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                              5.0)
+        except Exception:
+            pass
+
+    # --sampler ddim|dpm [--steps N]: time the step-skipping samplers
+    # (capability adds beyond the reference) under the same tunnel-robust
+    # harness; the official metric stays the ancestral T=20 default.
+    # Validated before any compile so a typo fails fast.
+    import sys
+    sampler = "ancestral"
+    if "--sampler" in sys.argv:
+        sampler = sys.argv[sys.argv.index("--sampler") + 1]
+    if sampler not in ("ancestral", "ddim", "dpm"):
+        raise SystemExit(f"--sampler {sampler!r}: expected ancestral|ddim|dpm")
 
     backend = jax.default_backend()
     # batch size per chip: v5e has 16 GB HBM; 256x256x6 activations through
@@ -477,7 +508,16 @@ def main():
     #   discard degraded-phase blocks
     n_rep = arg_int("--reps", 5)
     n_blocks = arg_int("--blocks", 3)
-    chained = make_chained_sample_fn(engine, apply_fn, mesh=mesh)
+
+    steps = arg_int("--steps", engine.buffers.num_timesteps)
+    sample_fn = None
+    if sampler == "ddim":
+        sample_fn = lambda d, c, k: engine.sample_ddim(d, c, k, steps=steps)
+    elif sampler == "dpm":
+        sample_fn = lambda d, c, k: engine.sample_dpm(d, c, k, steps=steps)
+
+    chained = make_chained_sample_fn(engine, apply_fn, mesh=mesh,
+                                     sample_fn=sample_fn)
 
     # warmup / compile (np.asarray = hard host sync; on the axon tunnel
     # block_until_ready alone has proven unreliable for timing)
@@ -488,12 +528,17 @@ def main():
         n_rep, n_blocks)
 
     imgs_per_sec = n_rep * B / dt / n_dev
+    metric = "sr_images_per_sec_per_chip_64to256_T20"
+    tag = ""
+    if sampler != "ancestral":
+        metric = f"sr_images_per_sec_per_chip_64to256_{sampler}{steps}"
+        tag = f"{sampler}-{steps}, "
     print(json.dumps({
-        "metric": "sr_images_per_sec_per_chip_64to256_T20",
+        "metric": metric,
         "value": round(float(imgs_per_sec), 3),
-        "unit": f"images/sec/chip (batch {B}, {n_dev} chip(s), {backend}; "
-                f"min(t_2R)-min(t_R) over {n_blocks} interleaved block "
-                f"pairs, R={n_rep} in-graph chained reps)",
+        "unit": f"images/sec/chip ({tag}batch {B}, {n_dev} chip(s), "
+                f"{backend}; min(t_2R)-min(t_R) over {n_blocks} interleaved "
+                f"block pairs, R={n_rep} in-graph chained reps)",
         "vs_baseline": round(float(imgs_per_sec) / REF_IMAGES_PER_SEC_EST, 2),
     }))
 
