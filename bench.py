@@ -473,8 +473,20 @@ def main():
     # fold modes (FASTDIFFSR_TPU_FOLD) require an even batch at trace time
     params = net.init(rng, jnp.zeros((2, H, W, 6)), jnp.ones((2,)))["params"]
 
-    def apply_fn(p, x_in, level, _rng):
-        return net.apply({"params": p}, x_in, level, deterministic=True)
+    if "--fused" in sys.argv:
+        # the Pallas fused-block forward (models/unet_fastdiffsr_fused.py)
+        # on the SAME param tree; FASTDIFFSR_TPU_FUSED_SPLIT picks the
+        # im2col decomposition (none|dy|dydx|pad|rows|padrows)
+        from fastdiffsr_tpu.models.unet_fastdiffsr_fused import (
+            default_fused_split, fused_apply)
+        print(f"# fused forward, split={default_fused_split()}",
+              file=sys.stderr)
+
+        def apply_fn(p, x_in, level, _rng):
+            return fused_apply(p, x_in, level)
+    else:
+        def apply_fn(p, x_in, level, _rng):
+            return net.apply({"params": p}, x_in, level, deterministic=True)
 
     # on a multi-chip host, shard the batch over a DP mesh (B scales with
     # the device count; the metric stays per-chip)
@@ -533,6 +545,9 @@ def main():
     if sampler != "ancestral":
         metric = f"sr_images_per_sec_per_chip_64to256_{sampler}{steps}"
         tag = f"{sampler}-{steps}, "
+    if "--fused" in sys.argv:
+        metric += "_fused"
+        tag += "fused Pallas blocks, "
     print(json.dumps({
         "metric": metric,
         "value": round(float(imgs_per_sec), 3),

@@ -28,6 +28,13 @@ from .unet_fastdiffsr import (nearest_up2 as _nearest_up2,
                               positional_encoding as _positional_encoding)
 
 
+def default_fused_split() -> str:
+    """im2col decomposition for the fused blocks (FASTDIFFSR_TPU_FUSED_SPLIT
+    = none|dy|dydx|pad|rows|padrows, see ops/fused_conv.py)."""
+    import os
+    return os.environ.get("FASTDIFFSR_TPU_FUSED_SPLIT", "none")
+
+
 def _xla_stats(x: jax.Array) -> jax.Array:
     xf = x.astype(jnp.float32)
     return jnp.stack([jnp.sum(xf, axis=(1, 2)),
@@ -44,7 +51,8 @@ def _block(p, x, stats, groups, *, shift=None, res=None, want_stats=True):
     return fused_gn_swish_conv3x3(
         x, p["norm"]["scale"], p["norm"]["bias"], stats,
         p["conv"]["kernel"].astype(dt), p["conv"]["bias"],
-        shift=shift, res=res, groups=groups, want_stats=want_stats)
+        shift=shift, res=res, groups=groups, want_stats=want_stats,
+        split=default_fused_split())
 
 
 def _resblock(p, x, stats, noise_emb, groups):
@@ -109,7 +117,7 @@ def fused_apply(params: dict,
         x, None, None, None,
         params[f"downs_{idx}"]["kernel"].astype(dtype),
         params[f"downs_{idx}"]["bias"],
-        apply_norm=False, want_stats=True)
+        apply_norm=False, want_stats=True, split=default_fused_split())
     idx += 1
     feats = [(x, stats)]
     for ind in range(num_mults):
@@ -150,7 +158,8 @@ def fused_apply(params: dict,
             x, stats = fused_gn_swish_conv3x3(
                 _nearest_up2(x), None, None, None,
                 p["conv"]["kernel"].astype(dtype), p["conv"]["bias"],
-                apply_norm=False, want_stats=True)
+                apply_norm=False, want_stats=True,
+                split=default_fused_split())
             idx += 1
 
     out = _block(params["final_block"], x, stats, groups,

@@ -63,15 +63,18 @@ def _pad128(n: int) -> int:
     return -(-n // 128) * 128
 
 
-def _pick_th(h: int, w: int, cs, co: int, budget: int = 20 << 20) -> int:
+def _pick_th(h: int, w: int, cs, co: int, budget: int = 20 << 20,
+             pks=None) -> int:
     """Row-band height such that the im2col patch buffer, its staging
     parts, and the f32 accumulator fit the VMEM budget; th divides h.
 
     Mosaic pads the lane (last) dim to 128, so small channel counts are
     costed at their PADDED width — without this the 9 stem parts at C=6
     each occupy a full 128-lane tile and blow the scoped-vmem limit.
+    ``pks`` is the per-source patch part width (= cs, or pad128(c) in the
+    lane-aligned patch modes).
     """
-    kat = _pad128(9 * sum(cs))
+    kat = _pad128(9 * sum(pks if pks is not None else cs))
     per_row = w * (sum(9 * _pad128(c) * 2 for c in cs)
                    + kat * 2 + _pad128(co) * 4)
     th = max(1, min(h, budget // max(per_row, 1)))
@@ -99,7 +102,8 @@ def _halos(x: jax.Array, th: int, nH: int) -> jax.Array:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups", "eps", "apply_norm", "want_stats", "split"))
+    static_argnames=("groups", "eps", "apply_norm", "want_stats", "split",
+                     "chunks", "phase"))
 def fused_gn_swish_conv3x3(x,
                            gn_scale: Optional[jax.Array],
                            gn_bias: Optional[jax.Array],
@@ -112,7 +116,9 @@ def fused_gn_swish_conv3x3(x,
                            eps: float = 1e-5,
                            apply_norm: bool = True,
                            want_stats: bool = True,
-                           split: str = "none"):
+                           split: str = "none",
+                           chunks: int = 4,
+                           phase: str = "all"):
     """y [+ stats_y].
 
     x: (B,H,W,C) feature map, or a tuple of maps consumed as a channel
@@ -133,6 +139,25 @@ def fused_gn_swish_conv3x3(x,
       "dydx":  nine accumulating dots of K=C per source on shifted VIEWS
                (no patch concat at all; trades lane-padding waste at
                K=C<128 for zero build copies).
+      "pad":   like "none" but every (src,dy,dx) part sits at a
+               128-lane-aligned patch offset (zero-fill to pad128(C),
+               matching zero rows in the weight matrix) — the patch
+               build becomes whole-tile copies instead of the lane
+               shuffles C=64 parts otherwise need, at the price of a
+               (possibly) wider, partly-zero contraction;
+      "rows":  M-chunked software pipeline: the row band is cut into
+               ``chunks`` sub-bands; chunk m+1's patch is built (VPU)
+               while the MXU consumes chunk m. The dots write DISJOINT
+               row ranges (no accumulation dependency), and the issue
+               order build(m+1)->dot(m) keeps both patch buffers live so
+               Mosaic cannot fold them into one (WAR hazard) — the
+               explicit double-buffering r2's split-dot variants lacked;
+      "padrows": both.
+    phase: timing diagnostics — "all" (real kernel), "build" (patch
+      build runs, the MXU dot is replaced by a lane-slice of the patch),
+      "dot" (the patch is zero-filled instead of built, dot runs).
+      Non-"all" phases return wrong values; they exist so the VPU
+      patch-build and MXU dot can be timed separately (tools/kernel_lab).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -143,8 +168,19 @@ def fused_gn_swish_conv3x3(x,
     Cs = [xx.shape[-1] for xx in xs]
     C = sum(Cs)
     Co = w.shape[-1]
-    th = _pick_th(H, W, Cs, Co)
+    pad = split in ("pad", "padrows")
+    # per-source patch part width: lane-align only where it helps (C >= 64
+    # and not already a multiple of 128 — padding the C=6 stem would cost
+    # 9x the MACs for nothing)
+    pKs = [_pad128(c) if (pad and c % 128 and c >= 64) else c for c in Cs]
+    K = 9 * sum(pKs)
+    th = _pick_th(H, W, Cs, Co, pks=pKs)
     nH = H // th
+    if split in ("rows", "padrows"):
+        nM = max(d for d in range(1, min(chunks, th) + 1) if th % d == 0)
+    else:
+        nM = 1
+    tm = th // nM
 
     if apply_norm:
         sts = stats_in if isinstance(stats_in, tuple) else (stats_in,)
@@ -168,10 +204,17 @@ def fused_gn_swish_conv3x3(x,
     shift = shift.astype(jnp.float32)[:, None, :]  # (B,1,Co)
 
     dtype = xs[0].dtype
-    # weight rows regrouped per source, each in (dy,dx,c) patch order
-    wmat = jnp.concatenate(
-        [w[:, :, offs[k]:offs[k + 1]].astype(dtype).reshape(9 * Cs[k], Co)
-         for k in range(n_src)], axis=0)
+    # weight rows regrouped per source, each in (dy,dx,c) patch order; in
+    # pad mode each (dy,dx,src) row group is zero-filled to pad128(C) so
+    # the zero patch lanes multiply zero weight rows (exact)
+    wparts = []
+    for k in range(n_src):
+        wk = w[:, :, offs[k]:offs[k + 1]].astype(dtype)
+        if pKs[k] != Cs[k]:
+            wk = jnp.pad(wk.reshape(9, Cs[k], Co),
+                         ((0, 0), (0, pKs[k] - Cs[k]), (0, 0)))
+        wparts.append(wk.reshape(9 * pKs[k], Co))
+    wmat = jnp.concatenate(wparts, axis=0) if n_src > 1 else wparts[0]
     bvec = b.astype(jnp.float32).reshape(1, Co)
 
     have_res = res is not None
@@ -215,16 +258,48 @@ def fused_gn_swish_conv3x3(x,
                 pat_k, w_ref[row0:row0 + krows, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
 
-        if split == "none":
-            parts = []
-            for k in range(n_src):
-                xn = norm_band(k)
-                for dy in range(3):
-                    for dx in range(3):
-                        parts.append(
-                            xn[dy:dy + th, dx:dx + W].reshape(th * W, Cs[k]))
-            pat = jnp.concatenate(parts, axis=-1)    # (th*W, 9C)
-            acc = dot_w(pat, 0, 9 * C)               # (th*W, Co)
+        if split in ("none", "pad", "rows", "padrows"):
+            xns = [norm_band(k) for k in range(n_src)]
+
+            def build_chunk(m):
+                r0 = m * tm
+                parts = []
+                for k in range(n_src):
+                    ck = Cs[k]
+                    for dy in range(3):
+                        for dx in range(3):
+                            parts.append(
+                                xns[k][r0 + dy:r0 + dy + tm,
+                                       dx:dx + W].reshape(tm * W, ck))
+                            if pKs[k] != ck:   # pad modes: lane-align
+                                parts.append(jnp.zeros(
+                                    (tm * W, pKs[k] - ck), xns[k].dtype))
+                return (jnp.concatenate(parts, axis=-1)
+                        if len(parts) > 1 else parts[0])
+
+            if phase == "dot":      # timing: dot on a zero-filled patch
+                build = lambda m: jnp.zeros((tm * W, K), dtype)
+            else:
+                build = build_chunk
+            if phase == "build":    # timing: consume the patch on the VPU
+                consume = lambda pat: jnp.broadcast_to(
+                    jnp.sum(pat, axis=1, keepdims=True),
+                    (tm * W, Co)).astype(jnp.float32)
+            else:
+                consume = lambda pat: dot_w(pat, 0, K)
+
+            # software pipeline (rows modes, nM > 1): issue order is
+            # build(m+1) -> dot(m), the dots write DISJOINT row ranges,
+            # and chunk m's patch stays live across chunk m+1's build so
+            # the two staging buffers cannot be folded into one
+            prev = build(0)
+            outs = []
+            for m in range(1, nM):
+                cur = build(m)
+                outs.append(consume(prev))
+                prev = cur
+            outs.append(consume(prev))
+            acc = outs[0] if nM == 1 else jnp.concatenate(outs, axis=0)
         else:
             acc = None
             row0 = 0
@@ -268,7 +343,7 @@ def fused_gn_swish_conv3x3(x,
         + [
             pl.BlockSpec((1, 1, Co), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((9 * C, Co), lambda i, j: (0, 0),
+            pl.BlockSpec((K, Co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Co), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),

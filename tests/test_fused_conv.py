@@ -68,6 +68,31 @@ def test_fused_plain_conv_path():
                                atol=3e-3)
 
 
+@pytest.mark.parametrize("split", ["dy", "dydx", "pad", "rows", "padrows"])
+@pytest.mark.parametrize("n_src", [1, 2])
+def test_fused_split_modes_match_none(split, n_src):
+    """Every im2col decomposition (incl. the lane-aligned 'pad' patch and
+    the 'rows' software pipeline) is exact vs the baseline layout."""
+    G = 8
+    # C=64 so the pad modes actually pad (they lane-align only C >= 64
+    # with C % 128 != 0)
+    x, scale, bias, w, b, stats = _setup(C=64 * n_src, Co=64)
+    C1 = 64 * n_src // n_src
+    if n_src == 2:
+        xs = (x[..., :C1], x[..., C1:])
+        sts = (stats[:, :, :C1], stats[:, :, C1:])
+    else:
+        xs, sts = x, stats
+    with pltpu.force_tpu_interpret_mode():
+        want, want_st = fused_gn_swish_conv3x3(
+            xs, scale, bias, sts, w, b, groups=G, split="none")
+        got, got_st = fused_gn_swish_conv3x3(
+            xs, scale, bias, sts, w, b, groups=G, split=split, chunks=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got_st), np.asarray(want_st),
+                               rtol=1e-4, atol=3e-3)
+
+
 def test_group_stats_to_norm_matches_direct():
     x, *_ = _setup(C=32)
     G = 8

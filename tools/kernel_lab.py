@@ -25,6 +25,14 @@ def main():
     ap.add_argument("--chain", type=int, default=20)
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--splits", type=str, default="none,dy,dydx")
+    ap.add_argument("--phase", type=str, default="all",
+                    help="all|build|dot — time the patch build or the "
+                         "MXU dot alone (see fused_conv docstring)")
+    ap.add_argument("--chunks", type=int, default=4,
+                    help="row-chunk count for the rows/padrows pipeline")
+    ap.add_argument("--shapes", type=str, default="",
+                    help="comma list of indices into the shape table "
+                         "(default: all)")
     args = ap.parse_args()
 
     import jax
@@ -45,6 +53,9 @@ def main():
         (64, (256, 256), 256),
         (32, (256, 256), 256),
     ]
+    if args.shapes:
+        keep = {int(s) for s in args.shapes.split(",")}
+        shapes = [s for i, s in enumerate(shapes) if i in keep]
     rng = jax.random.PRNGKey(0)
 
     def timeit(f, x):
@@ -81,15 +92,14 @@ def main():
                     zf = z.astype(jnp.float32)
                     return jnp.stack([jnp.sum(zf, axis=(1, 2)),
                                       jnp.sum(zf * zf, axis=(1, 2))], axis=1)
-                y = x
-                for _ in range(N):
-                    xs = (y,) * len(_cs)
-                    st = (stats_of(y),) * len(_cs)
-                    xi = xs if len(xs) > 1 else xs[0]
-                    si = st if len(st) > 1 else st[0]
-                    y, _ = fused_gn_swish_conv3x3(
+                y, st = x, stats_of(x)   # chained calls then feed the
+                for _ in range(N):       # kernel's OWN stats epilogue
+                    xi = (y,) * len(_cs) if len(_cs) > 1 else y
+                    si = (st,) * len(_cs) if len(_cs) > 1 else st
+                    y, st = fused_gn_swish_conv3x3(
                         xi, _gs, _gb, si, _w, _b, groups=32,
-                        want_stats=True, split=_split)
+                        want_stats=True, split=_split,
+                        chunks=args.chunks, phase=args.phase)
                 return jnp.sum(y.astype(jnp.float32))
 
             ms = (timeit(run, x0) - rtt) / N * 1e3

@@ -49,6 +49,11 @@ def main():
                     help="train-crop stride in px (0 = disjoint quadrants)")
     ap.add_argument("--aug", action="store_true",
                     help="write all 8 dihedral variants of each train crop")
+    ap.add_argument("--hflip", action="store_true",
+                    help="write only the horizontal mirror alongside each "
+                         "train crop (the reference's actual load-time "
+                         "augment; orientation-preserving — r3 falsified "
+                         "the FULL dihedral group, not this)")
     args = ap.parse_args()
 
     names = sorted(f for f in os.listdir(args.src)
@@ -66,7 +71,14 @@ def main():
                      for x in range(0, w - qw + 1, args.stride)]
         else:
             crops = [(0, 0), (qw, 0), (0, qh), (qw, qh)]
-        variants = _DIHEDRAL if (split == "train" and args.aug) else [None]
+        if split != "train":
+            variants = [None]
+        elif args.aug:
+            variants = _DIHEDRAL
+        elif args.hflip:
+            variants = [None, 0]   # identity + FLIP_LEFT_RIGHT
+        else:
+            variants = [None]
         for qi, (x, y) in enumerate(crops):
             base = img.crop((x, y, x + qw, y + qh))
             for vi, t in enumerate(variants):
