@@ -198,11 +198,17 @@ def bench_ediffsr():
     def apply_fn(p, x, mu, t):
         return net.apply({"params": p}, x, mu, t, deterministic=True)
 
+    unroll = arg_int("--unroll", 1)
+    if unroll != 1 or net.dw_mode or net.up_mode:
+        import sys
+        print(f"# ediffsr arm: unroll={unroll} dw={net.dw_mode!r} "
+              f"up={net.up_mode!r}", file=sys.stderr)
+
     def run_once(lq, key):
         mu = jax.image.resize(lq, (B, size, size, 3), method="bicubic")
         xt = sde.noise_state(mu, key)
         return sde.reverse_sde(lambda x, m, t: apply_fn(params, x, m, t),
-                               xt, mu, key)
+                               xt, mu, key, unroll=unroll)
 
     lq = jax.random.uniform(rng, (B, lq_size, lq_size, 3), jnp.float32, 0, 1)
     chained = jax.jit(chained_fori(run_once, lq))

@@ -184,7 +184,8 @@ class IRSDE:
 
     def reverse_sde(self, noise_fn: NoiseFn, xt, mu, rng,
                     ode: bool = False,
-                    noise_seq: Optional[jax.Array] = None) -> jax.Array:
+                    noise_seq: Optional[jax.Array] = None,
+                    unroll: int = 1) -> jax.Array:
         T = self.b.T
         bsz = xt.shape[0]
         ts = jnp.arange(T, 0, -1)
@@ -214,7 +215,7 @@ class IRSDE:
                 x_next = self.reverse_sde_step(x, mu, score, t, eps)
             return x_next, None
 
-        x, _ = jax.lax.scan(step, xt, consts)
+        x, _ = jax.lax.scan(step, xt, consts, unroll=unroll)
         return x
 
     def optimal_reverse(self, xt, x0, mu):

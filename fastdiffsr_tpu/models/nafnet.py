@@ -57,6 +57,43 @@ def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
     return x.reshape(b, h * r, w * r, c_out)
 
 
+def default_naf_dw() -> str:
+    """NAFBlock depthwise-conv formulation (FASTDIFFSR_TPU_NAF_DW):
+    '' = lax grouped conv (literal); 'shift' = nine shifted FMAs."""
+    import os
+    return os.environ.get("FASTDIFFSR_TPU_NAF_DW", "")
+
+
+def default_naf_up() -> str:
+    """Decoder upsample formulation (FASTDIFFSR_TPU_NAF_UP): '' = 1x1 conv
+    + PixelShuffle (literal); 'tconv' = the exact stride-2 transposed-conv
+    fold of the pair (same param tree, no shuffle relayout) — the same
+    reformulation family as the flagship's Upsample tconv win."""
+    import os
+    return os.environ.get("FASTDIFFSR_TPU_NAF_UP", "")
+
+
+class _ConvParams(nn.Module):
+    """Bare conv parameter holder: identical tree path/shapes/init to the
+    ``nn.Conv`` it replaces, so checkpoints load whichever mode runs."""
+
+    features: int
+    in_features: int
+    ksize: int = 1
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (self.ksize, self.ksize,
+                             self.in_features, self.features), jnp.float32)
+        if not self.use_bias:
+            return kernel, None
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class NAFBlock(nn.Module):
     c: int
     time_dim: int
@@ -64,6 +101,7 @@ class NAFBlock(nn.Module):
     ffn_expand: int = 2
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    dw_mode: str = ""
 
     @nn.compact
     def __call__(self, x, t_emb, *, deterministic: bool = True):
@@ -85,8 +123,22 @@ class NAFBlock(nn.Module):
         x = channel_layer_norm(x, g1)
         x = x * (scale_att + 1) + shift_att
         x = nn.Conv(dw, (1, 1), dtype=self.dtype, name="conv1")(x)
-        x = nn.Conv(dw, (3, 3), padding=1, feature_group_count=dw,
-                    dtype=self.dtype, name="conv2")(x)
+        if self.dw_mode == "shift":
+            # depthwise 3x3 as nine shifted FMAs — pure VPU elementwise
+            # chains XLA can fuse, instead of the grouped-conv lowering
+            k, bv = _ConvParams(dw, 1, ksize=3, name="conv2")()
+            k = k.astype(x.dtype)
+            xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+            hh, ww = x.shape[1], x.shape[2]
+            acc = None
+            for dy in range(3):
+                for dx in range(3):
+                    term = xp[:, dy:dy + hh, dx:dx + ww, :] * k[dy, dx, 0]
+                    acc = term if acc is None else acc + term
+            x = acc + bv.astype(x.dtype)
+        else:
+            x = nn.Conv(dw, (3, 3), padding=1, feature_group_count=dw,
+                        dtype=self.dtype, name="conv2")(x)
         x = simple_gate(x)
         sca = jnp.mean(x, axis=(1, 2), keepdims=True)
         sca = nn.Conv(dw // 2, (1, 1), dtype=self.dtype, name="sca_conv")(sca)
@@ -139,6 +191,8 @@ class ConditionalNAFNet(nn.Module):
     dec_blk_nums: Sequence[int] = ()
     upscale: int = 1
     dtype: jnp.dtype = jnp.float32
+    dw_mode: str = ""   # see default_naf_dw
+    up_mode: str = ""   # see default_naf_up
 
     @nn.compact
     def __call__(self, inp: jax.Array, cond: jax.Array, time: jax.Array, *,
@@ -167,6 +221,7 @@ class ConditionalNAFNet(nn.Module):
         for i, num in enumerate(self.enc_blk_nums):
             for j in range(num):
                 x = NAFBlock(chan, w * 4, dtype=self.dtype,
+                             dw_mode=self.dw_mode,
                              name=f"enc_{i}_{j}")(
                                  x, t, deterministic=deterministic)
             encs.append(x)
@@ -176,17 +231,34 @@ class ConditionalNAFNet(nn.Module):
 
         for j in range(self.middle_blk_num):
             x = NAFBlock(chan, w * 4, dtype=self.dtype,
+                         dw_mode=self.dw_mode,
                          name=f"middle_{j}")(x, t,
                                              deterministic=deterministic)
 
         for i, num in enumerate(self.dec_blk_nums):
-            x = nn.Conv(chan * 2, (1, 1), use_bias=False, dtype=self.dtype,
-                        name=f"up_{i}")(x)
-            x = pixel_shuffle(x, 2)
+            if self.up_mode == "tconv":
+                # exact fold of (1x1 conv -> PixelShuffle(2)) into one
+                # stride-2 transposed conv: out[2h+i,2w+j,c] =
+                # x[h,w,:] @ W1x1[:, c*4+i*2+j]; the lhs-dilated conv with
+                # padding 1 applies the kernel FLIPPED, hence [::-1,::-1]
+                w1, _ = _ConvParams(chan * 2, chan, use_bias=False,
+                                    name=f"up_{i}")()
+                co = chan // 2
+                kt = w1[0, 0].reshape(chan, co, 2, 2)[..., ::-1, ::-1]
+                kt = kt.transpose(2, 3, 0, 1).astype(self.dtype)
+                x = jax.lax.conv_general_dilated(
+                    x, kt, window_strides=(1, 1),
+                    padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            else:
+                x = nn.Conv(chan * 2, (1, 1), use_bias=False,
+                            dtype=self.dtype, name=f"up_{i}")(x)
+                x = pixel_shuffle(x, 2)
             chan //= 2
             x = x + encs[::-1][i]
             for j in range(num):
                 x = NAFBlock(chan, w * 4, dtype=self.dtype,
+                             dw_mode=self.dw_mode,
                              name=f"dec_{i}_{j}")(
                                  x, t, deterministic=deterministic)
 
@@ -206,4 +278,6 @@ def nafnet_from_config(setting: dict, dtype=jnp.float32) -> ConditionalNAFNet:
         dec_blk_nums=tuple(setting.get("dec_blk_nums", (1, 1, 1, 1))),
         upscale=setting.get("upscale", 1),
         dtype=dtype,
+        dw_mode=default_naf_dw(),
+        up_mode=default_naf_up(),
     )

@@ -180,6 +180,53 @@ def test_nafnet_matches_torch():
     np.testing.assert_allclose(out_f, out_t, atol=2e-4, rtol=1e-3)
 
 
+def test_nafnet_reformulation_modes_match_literal():
+    """The opt-in graph reformulations (FASTDIFFSR_TPU_NAF_DW=shift,
+    FASTDIFFSR_TPU_NAF_UP=tconv) are exact on the SAME param tree as the
+    literal depthwise-conv / pixel-shuffle forward."""
+    from fastdiffsr_tpu.models.nafnet import ConditionalNAFNet
+
+    kw = dict(img_channel=3, width=16, middle_blk_num=1,
+              enc_blk_nums=(2, 1), dec_blk_nums=(1, 1))
+    lit = ConditionalNAFNet(**kw)
+    ref = ConditionalNAFNet(dw_mode="shift", up_mode="tconv", **kw)
+
+    rng = np.random.default_rng(5)
+    B, H, W = 2, 12, 12
+    inp = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+    cond = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+    t = jnp.asarray([3.0, 77.0], jnp.float32)
+
+    params = lit.init(jax.random.PRNGKey(0), inp, cond, t)["params"]
+    # identical param trees: the reformulations hold the same leaves
+    p2 = ref.init(jax.random.PRNGKey(0), inp, cond, t)["params"]
+    assert jax.tree_util.tree_structure(params) == \
+        jax.tree_util.tree_structure(p2)
+
+    want = lit.apply({"params": params}, inp, cond, t, deterministic=True)
+    got = ref.apply({"params": params}, inp, cond, t, deterministic=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_reverse_sde_unroll_invariant():
+    """lax.scan unroll is a schedule knob, not a math change."""
+    from fastdiffsr_tpu.diffusion.sde import IRSDE, IRSDEBuffers
+
+    sde = IRSDE(IRSDEBuffers.create(max_sigma=10.0, T=8, schedule="cosine",
+                                    eps=0.005))
+    rng = jax.random.PRNGKey(3)
+    mu = jax.random.uniform(rng, (1, 4, 4, 3), jnp.float32, -1, 1)
+    xt = sde.noise_state(mu, rng)
+
+    def noise_fn(x, m, t):
+        return 0.1 * (x - m)
+
+    a = sde.reverse_sde(noise_fn, xt, mu, rng, unroll=1)
+    b = sde.reverse_sde(noise_fn, xt, mu, rng, unroll=4)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_ode_sampler_matches_scipy_rk45():
     """Pure-JAX adaptive RK45 (IRSDE.ode_sampler) vs scipy solve_ivp RK45 on
     the identical drift (the reference ode_sampler wraps scipy the same way,
