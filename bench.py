@@ -565,23 +565,31 @@ def main():
 
 
 if __name__ == "__main__":
+    import contextlib
     import sys
-    if "--profile" in sys.argv:
-        # wrap the timed region in a jax.profiler trace (xplane under
-        # /tmp/fastdiffsr_trace, readable with tensorboard-plugin-profile)
-        import jax
-        with jax.profiler.trace("/tmp/fastdiffsr_trace"):
-            main()
-        print("trace written to /tmp/fastdiffsr_trace", file=sys.stderr)
-    elif "--train" in sys.argv:
-        bench_train()
+
+    if "--train" in sys.argv:
+        mode = bench_train
     elif "--latency" in sys.argv:
-        bench_latency()
+        mode = bench_latency
     elif "--full" in sys.argv:
-        bench_full()
+        mode = bench_full
     elif "--ediffsr" in sys.argv:
-        bench_ediffsr()
+        mode = bench_ediffsr
     elif "--msi" in sys.argv:
-        bench_msi()
+        mode = bench_msi
     else:
-        main()
+        mode = main
+
+    if "--profile" in sys.argv:
+        # wrap the timed region of WHICHEVER mode runs in a jax.profiler
+        # trace (xplane under /tmp/fastdiffsr_trace, readable with
+        # tensorboard-plugin-profile / tools/xplane_ops.py)
+        import jax
+        ctx = jax.profiler.trace("/tmp/fastdiffsr_trace")
+    else:
+        ctx = contextlib.nullcontext()
+    with ctx:
+        mode()
+    if "--profile" in sys.argv:
+        print("trace written to /tmp/fastdiffsr_trace", file=sys.stderr)

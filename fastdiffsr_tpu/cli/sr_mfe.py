@@ -572,11 +572,12 @@ def main(argv=None):
         # val batching follows datasets.val.batch_size (default 1, the
         # reference's fixed choice); with batch_size > 1 the sampler is
         # DP-sharded over all devices dividing the batch (auto mesh)
-        run_validation(opt, eng_val, apply_fn, params, result_path,
-                       val_logger, scale=scale,
-                       wandb_logger=wandb_logger, save_plots=True)
+        res = run_validation(opt, eng_val, apply_fn, params, result_path,
+                             val_logger, scale=scale,
+                             wandb_logger=wandb_logger, save_plots=True)
         if wandb_logger is not None:
             wandb_logger.log_eval_table(commit=True)
+        return res  # metric dict (drivers: tools/sampler_frontier.py)
 
 
 if __name__ == "__main__":
