@@ -26,10 +26,23 @@ import numpy as np
 REF_IMAGES_PER_SEC_EST = 2.0
 # Reference per-image latency estimate used by bench_latency's vs_baseline:
 # the PyTorch reference at batch 1 / T=20 / 256x256 on its cuda-11.1-era
-# single GPU (requirements.txt:2-3). NOT a measurement — the repo records
-# no numbers (BASELINE.json "published": {}) and no reference GPU exists
-# in this environment; 0.5 s/image = 1 / REF_IMAGES_PER_SEC_EST.
+# single GPU (requirements.txt:2-3). The repo records no numbers
+# (BASELINE.json "published": {}) and no reference GPU exists here, but
+# the ESTIMATE is now anchored by a measurement (r4, tools/ref_cpu_bench
+# .py): the mounted reference measured 0.0189 img/s (53.0 s/image) on
+# this host's CPU, so 2.0 img/s presumes a ~106x GPU-over-this-CPU
+# uplift — a plausible cuda-era figure, recorded in BASELINE.md.
 REF_LATENCY_SEC_EST = 1.0 / REF_IMAGES_PER_SEC_EST
+REF_CPU_MEASURED = 0.0189         # img/s, reference flagship on this host
+REF_GPU_UPLIFT = REF_IMAGES_PER_SEC_EST / REF_CPU_MEASURED   # ~106x
+
+# Reference throughput on THIS HOST's CPU, measured from the mounted
+# source (tools/ref_cpu_bench.py, fp32 batch 1, 2026-08-20): the
+# traceable denominators for the sub-framework benches. The derived GPU
+# estimate applies the flagship's measured CPU->estimated-GPU uplift.
+REF_MSI_CPU = {"swinir": 0.5795, "hsenet": 0.4410, "transenet": 1.4922,
+               "ndsrgan": 0.7230, "hat": 0.1921}
+REF_EDIFFSR_CPU = 0.00264         # NAFNet w64 T=100 restore, per-call x100
 
 
 def build_flagship_net(stats_barrier: str = ""):
@@ -218,16 +231,17 @@ def bench_ediffsr():
     dt = diff_time(
         lambda n, i: np.asarray(chained(lq, jax.random.fold_in(rng, i), n)),
         n_rep, n_blocks, label="ediffsr ")
-    v = n_rep * B / dt
+    v = float(n_rep * B / dt)
     print(json.dumps({
         "metric": "irsde_images_per_sec_per_chip_64to256_T100",
-        "value": round(float(v), 3),
+        "value": round(v, 3),
         "unit": f"images/sec/chip (batch {B}, NAFNet w64, reverse SDE "
-                f"T=100; min-diff of {n_blocks} interleaved block pairs)",
-        # reference denominator: T=100 sequential batch-1 denoiser calls
-        # on the same era GPU; demo logs measured 1.3-2.0 s/image on the
-        # repo's own TPU per-image path -> use 0.5 img/s as the estimate
-        "vs_baseline": round(float(v) / 0.5, 2),
+                f"T=100; min-diff of {n_blocks} interleaved block pairs); "
+                "vs_baseline vs 0.5 img/s GPU estimate (measured ref CPU "
+                f"{REF_EDIFFSR_CPU} img/s x ~106 uplift would give "
+                f"{REF_EDIFFSR_CPU * REF_GPU_UPLIFT:.2f})",
+        "vs_baseline": round(v / 0.5, 2),
+        "vs_ref_cpu": round(v / REF_EDIFFSR_CPU, 1),
     }))
 
 
@@ -264,11 +278,17 @@ def bench_msi():
             lambda n, i: np.asarray(chained(lr, jax.random.fold_in(rng, i),
                                             n)),
             n_rep, n_blocks, label=f"{name} ")
+        v = float(n_rep * B / dt)
+        ref_gpu_est = REF_MSI_CPU[name] * REF_GPU_UPLIFT
         print(json.dumps({
             "metric": f"msi_{name}_images_per_sec_per_chip_64to256_x4",
-            "value": round(float(n_rep * B / dt), 3),
-            "unit": f"images/sec/chip feed-forward (batch {B}, bf16)",
-            "vs_baseline": None,
+            "value": round(v, 3),
+            "unit": f"images/sec/chip feed-forward (batch {B}, bf16); "
+                    f"vs_baseline = ours / (measured ref-CPU "
+                    f"{REF_MSI_CPU[name]} img/s x the flagship's ~106x "
+                    f"GPU uplift) — see BASELINE.md r4 anchors",
+            "vs_baseline": round(v / ref_gpu_est, 2),
+            "vs_ref_cpu": round(v / REF_MSI_CPU[name], 1),
         }))
 
 
@@ -561,6 +581,9 @@ def main():
                 f"{backend}; min(t_2R)-min(t_R) over {n_blocks} interleaved "
                 f"block pairs, R={n_rep} in-graph chained reps)",
         "vs_baseline": round(float(imgs_per_sec) / REF_IMAGES_PER_SEC_EST, 2),
+        # measured anchor (tools/ref_cpu_bench.py): the mounted torch
+        # reference runs 0.0189 img/s on this host's CPU
+        "vs_ref_cpu": round(float(imgs_per_sec) / REF_CPU_MEASURED, 1),
     }))
 
 

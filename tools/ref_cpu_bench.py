@@ -88,10 +88,29 @@ def _time_calls(fn, reps, warmup=1):
     return (time.perf_counter() - t0) / reps
 
 
+def _stub_modules():
+    """The reference imports torchvision/einops at module scope but this
+    config never calls them — stub so the mounted source imports."""
+    import types
+
+    if "torchvision" not in sys.modules:
+        tv = types.ModuleType("torchvision")
+        tvm = types.ModuleType("torchvision.models")
+        tvm.vgg19 = lambda *a, **k: None
+        tv.models = tvm
+        sys.modules["torchvision"] = tv
+        sys.modules["torchvision.models"] = tvm
+    if "einops" not in sys.modules:
+        eo = types.ModuleType("einops")
+        eo.rearrange = None
+        sys.modules["einops"] = eo
+
+
 def bench_flagship(reps):
     import torch
 
     sys.path.insert(0, REF)
+    _stub_modules()
     from model.fastdiffsr_modules.diffusion import GaussianDiffusion
     from model.fastdiffsr_modules.unet import UNet
 
@@ -114,7 +133,7 @@ def bench_flagship(reps):
           f"= {1 / dt:.4f} img/s (reference, this host CPU, fp32)")
 
 
-def bench_msi(reps):
+def bench_msi(reps, only=()):
     import torch
 
     models = {
@@ -138,9 +157,22 @@ def bench_msi(reps):
             "transenet": "class TransENetModel(object)",
             "ndsrgan": "class NDSRGAN(object)",
             "hat": "class HAT(object)"}
+    import pathlib
+
     x = torch.rand(1, 3, 64, 64)
     for name, build in models.items():
+        if only and name not in only:
+            continue
         ns = _exec_msi(f"{name}.py", cuts[name])
+        if name == "transenet":
+            # its encoder/decoder live in model/transformer.py (einops is
+            # available here, so it execs directly)
+            tpath = pathlib.Path(REF) / "MSI_SR_model" / "model" / \
+                "transformer.py"
+            tns = {"__name__": "ref_transformer"}
+            exec(compile(tpath.read_text(), str(tpath), "exec"), tns)
+            ns.update({k: v for k, v in tns.items()
+                       if not k.startswith("__")})
         net = build(ns).eval()
         with torch.no_grad():
             dt = _time_calls(lambda: net(x), reps)
@@ -158,19 +190,15 @@ def bench_ediffsr(reps):
     # stripped way
     base = pathlib.Path(REF) / "EDiffSR" / "codes" / "config" / "sisr" / \
         "models" / "modules"
-    mu_src = (base / "module_util.py").read_text()
-    mu_ns = {"__name__": "ref_module_util"}
-    exec(compile(mu_src, str(base / "module_util.py"), "exec"), mu_ns)
-    src = (base / "DenoisingNAFNet_arch.py").read_text()
-    lines = [ln for ln in src.split("\n")
-             if not ln.strip().startswith(("import module_util",
-                                           "from module_util",
-                                           "from .module_util",
-                                           "from . import"))]
-    ns = {"__name__": "ref_nafnet", "module_util": type(sys)("mu")}
-    ns["module_util"].__dict__.update(mu_ns)
-    exec(compile("\n".join(lines), str(base / "DenoisingNAFNet_arch.py"),
-                 "exec"), ns)
+    # exec module_util into the SAME namespace, then the arch file with
+    # its relative import stripped — names resolve directly (the same
+    # loader as tests/test_ediffsr.py::_load_ref_nafnet)
+    ns = {"__name__": "ref_nafnet"}
+    mu_path = base / "module_util.py"
+    exec(compile(mu_path.read_text(), str(mu_path), "exec"), ns)
+    src = (base / "DenoisingNAFNet_arch.py").read_text().replace(
+        "from .module_util import SinusoidalPosEmb, LayerNorm, exists", "")
+    exec(compile(src, str(base / "DenoisingNAFNet_arch.py"), "exec"), ns)
 
     net = ns["ConditionalNAFNet"](img_channel=3, width=64,
                                   enc_blk_nums=[14, 1, 1, 1],
@@ -192,6 +220,8 @@ def main():
     ap.add_argument("--msi", action="store_true")
     ap.add_argument("--ediffsr", action="store_true")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--models", default="",
+                    help="comma filter for --msi (e.g. transenet,hat)")
     args = ap.parse_args()
     if not (args.flagship or args.msi or args.ediffsr):
         args.flagship = args.msi = args.ediffsr = True
@@ -203,7 +233,7 @@ def main():
     if args.flagship:
         bench_flagship(max(1, args.reps // 3))
     if args.msi:
-        bench_msi(args.reps)
+        bench_msi(args.reps, [m for m in args.models.split(",") if m])
     if args.ediffsr:
         bench_ediffsr(args.reps)
 
