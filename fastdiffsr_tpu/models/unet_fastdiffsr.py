@@ -108,6 +108,15 @@ class Block(nn.Module):
     # for [x, skip]; roll params by in_perm channels (exact when the GN
     # group size divides the boundary — skip_concat='swap')
     in_perm: int = 0
+    # >0: compute ONLY the conv as two per-part convs summed, split at
+    # this input-channel index — GroupNorm stays over the full tensor, so
+    # this is exact by linearity regardless of group size (unlike the
+    # skip_concat='split' form, whose GN-split precondition FAILS on
+    # ups_12: g=192/32=6 does not divide the 128-channel part boundary,
+    # making r2's global split a no-op on exactly the anomalous block).
+    # Probes the slow-emitter anomaly: each part's contraction (128, 64)
+    # packs lanes without the 192->256 padding of the monolithic conv.
+    csplit: int = 0
     # x arrives fold2-folded ((B/2,H,W,2C) per-image-contiguous); params
     # stay unfolded, applied tiled/block-diagonally — exact (see fold2)
     fold: bool = False
@@ -182,6 +191,19 @@ class Block(nn.Module):
             h = swish(h)
         if self.dropout > 0:
             h = nn.Dropout(rate=self.dropout, deterministic=deterministic)(h)
+        if self.csplit:
+            kernel, kbias = _Conv3Params(self.dim_out, h.shape[-1],
+                                         name="conv")()
+            c, dn = self.csplit, ("NHWC", "HWIO", "NHWC")
+            return (jax.lax.conv_general_dilated(
+                        h[..., :c].astype(self.dtype),
+                        kernel[:, :, :c].astype(self.dtype),
+                        (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+                    + jax.lax.conv_general_dilated(
+                        h[..., c:].astype(self.dtype),
+                        kernel[:, :, c:].astype(self.dtype),
+                        (1, 1), ((1, 1), (1, 1)), dimension_numbers=dn)
+                    + kbias.astype(self.dtype))
         # int8 only where the MXU win exists (>=128² spatial; int8_lab)
         if self.quant in ("w8a8", "w8a8s") and h.shape[1] >= 128:
             from ..ops.quant import quant_conv3
@@ -217,12 +239,13 @@ class ResnetBlock(nn.Module):
     in_perm: int = 0
     fold: bool = False
     stats_barrier: bool = False
+    csplit: int = 0  # conv-only per-part split of block1 + res_conv
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
         h = Block(self.dim_out, groups=self.groups, dtype=self.dtype,
                   fused_norm=self.fused_norm, quant=self.quant,
-                  in_perm=self.in_perm, fold=self.fold,
+                  in_perm=self.in_perm, fold=self.fold, csplit=self.csplit,
                   name="block1")(x, deterministic=deterministic)
         shift = nn.Dense(self.dim_out, dtype=self.dtype,
                          name="noise_dense")(noise_emb)
@@ -279,8 +302,22 @@ class ResnetBlock(nn.Module):
                 x = jnp.concatenate([a, b], axis=-1)
             return h + x
         if self.dim != self.dim_out:
-            x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
-                        name="res_conv")(x)
+            if self.csplit:
+                kernel, kbias = _Conv3Params(self.dim_out, self.dim,
+                                             ksize=1, name="res_conv")()
+                c, dn = self.csplit, ("NHWC", "HWIO", "NHWC")
+                x = (jax.lax.conv_general_dilated(
+                         x[..., :c].astype(self.dtype),
+                         kernel[:, :, :c].astype(self.dtype),
+                         (1, 1), "VALID", dimension_numbers=dn)
+                     + jax.lax.conv_general_dilated(
+                         x[..., c:].astype(self.dtype),
+                         kernel[:, :, c:].astype(self.dtype),
+                         (1, 1), "VALID", dimension_numbers=dn)
+                     + kbias.astype(self.dtype))
+            else:
+                x = nn.Conv(self.dim_out, (1, 1), dtype=self.dtype,
+                            name="res_conv")(x)
         return h + x
 
 
@@ -338,6 +375,7 @@ class ResnetBlockWithAttn(nn.Module):
     in_perm: int = 0
     fold: bool = False
     stats_barrier: bool = False
+    csplit: int = 0
 
     @nn.compact
     def __call__(self, x, noise_emb, *, deterministic: bool = True):
@@ -348,6 +386,7 @@ class ResnetBlockWithAttn(nn.Module):
                         fused_norm=self.fused_norm, quant=self.quant,
                         in_perm=self.in_perm, fold=self.fold,
                         stats_barrier=self.stats_barrier,
+                        csplit=self.csplit,
                         name="res_block")(x, noise_emb,
                                           deterministic=deterministic)
         if self.with_attn:
@@ -566,6 +605,12 @@ class FastDiffSRUNet(nn.Module):
     # block1-conv -> block2-GN-stats fusion is cut with an
     # optimization_barrier (exact identity; see ResnetBlock.stats_barrier)
     stats_barrier: str = ""
+    # comma-separated UP-path block names ('ups_12', ...) whose block1
+    # conv + res_conv are computed as per-part convs summed at the
+    # [x, skip] concat boundary — GN untouched, exact by linearity for
+    # ANY group size (see Block.csplit). Targets the ups_12 slow-emitter
+    # anomaly, which the GN-coupled skip_concat='split' mode cannot reach.
+    conv_split: str = ""
 
     def _resblock_names(self) -> frozenset:
         """Names of every ResnetBlockWithAttn this config instantiates
@@ -600,6 +645,19 @@ class FastDiffSRUNet(nn.Module):
                 "(want '', 'split' or 'swap')")
         barrier_set = frozenset(
             s for s in self.stats_barrier.split(",") if s)
+        csplit_set = frozenset(
+            s for s in self.conv_split.split(",") if s)
+        bad = {s for s in csplit_set
+               if not s.startswith("ups_") or s not in self._resblock_names()}
+        if bad:
+            raise ValueError(
+                f"conv_split names {sorted(bad)} do not name up-path "
+                "ResnetBlockWithAttn instances (only ups_* blocks have a "
+                "skip-concat boundary to split at)")
+        if csplit_set and (self.quant or self.fold or self.skip_concat):
+            raise ValueError(
+                "conv_split composes only with the default quant/fold/"
+                "skip_concat modes")
         unknown = barrier_set - self._resblock_names()
         if unknown:
             # a typo'd name ('up_12') or a stem/Downsample/Upsample index
@@ -742,6 +800,7 @@ class FastDiffSRUNet(nn.Module):
                     dtype=self.dtype, fused_norm=self.fused_norm,
                     quant=self.quant, in_perm=swap,
                     stats_barrier=f"ups_{idx}" in barrier_set,
+                    csplit=pre if f"ups_{idx}" in csplit_set else 0,
                     name=f"ups_{idx}")(
                         xin, t, deterministic=deterministic)
                 idx += 1
@@ -782,7 +841,21 @@ def unet_from_config(unet_opt: dict, dtype=jnp.float32) -> FastDiffSRUNet:
         skip_concat=default_skip_concat(),
         quant=_default_quant(),
         fold=default_fold(),
+        conv_split=default_conv_split(),
     )
+
+
+def default_conv_split() -> str:
+    """Per-block conv-only split list from the environment.
+
+    FASTDIFFSR_TPU_CONV_SPLIT: comma-separated up-path block names
+    ('ups_12') whose block1 conv + res_conv are computed as per-part
+    convs summed at the skip-concat boundary (exact by linearity; GN
+    untouched — see FastDiffSRUNet.conv_split). Default '' = literal
+    monolithic convs.
+    """
+    import os
+    return os.environ.get("FASTDIFFSR_TPU_CONV_SPLIT", "")
 
 
 def _default_quant() -> str:

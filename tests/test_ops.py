@@ -250,6 +250,42 @@ def test_unet_skip_concat_swap_parity():
                 == jax.tree_util.tree_structure(p2))
 
 
+def test_unet_conv_split_parity():
+    """conv_split='ups_3' (per-part block1-conv + res_conv summed at the
+    skip boundary, GN untouched — exact by LINEARITY, unlike the
+    GN-coupled split which is a forced no-op on the unequal 32+16 /
+    128+64 concat) must match the default graph with shared params.
+    ups_3 here is the small-config analogue of the paper config's
+    ups_12 (first top-level up block, unequal concat)."""
+    import pytest as _pytest
+
+    from fastdiffsr_tpu.models.unet_fastdiffsr import FastDiffSRUNet
+
+    rng = jax.random.PRNGKey(11)
+    for kw in [dict(inner_channel=16, norm_groups=8, channel_mults=(1, 2),
+                    res_blocks=1, dropout=0.0),
+               dict(inner_channel=64, norm_groups=32, channel_mults=(1, 2),
+                    res_blocks=1, dropout=0.0)]:
+        x = jax.random.normal(rng, (2, 16, 16, 6))
+        lvl = jnp.array([0.7, 0.3])
+        net = FastDiffSRUNet(**kw)
+        params = net.init(rng, x, lvl)
+        want = net.apply(params, x, lvl)
+        split = FastDiffSRUNet(**kw, conv_split="ups_3")
+        got = split.apply(params, x, lvl)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4)
+        p2 = split.init(rng, x, lvl)
+        assert (jax.tree_util.tree_structure(params)
+                == jax.tree_util.tree_structure(p2))
+    # typo'd / non-up names fail fast (a silent no-op would time the
+    # baseline against itself in an A/B)
+    with _pytest.raises(ValueError, match="conv_split"):
+        FastDiffSRUNet(**kw, conv_split="downs_1").init(rng, x, lvl)
+    with _pytest.raises(ValueError, match="conv_split"):
+        FastDiffSRUNet(**kw, conv_split="ups_99").init(rng, x, lvl)
+
+
 @pytest.mark.parametrize("mode", ["d2s2", "tconv"])
 def test_unet_upsample_mode_parity(mode):
     """Whole-UNet forward: reformulated upsample_mode must match the
