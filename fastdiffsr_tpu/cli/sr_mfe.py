@@ -463,11 +463,34 @@ def main(argv=None):
                 return jax.block_until_ready(buf)
 
             device_data = {k: upload(v) for k, v in raw.items()}
+            # steps chained per dispatch (train.steps_per_call or
+            # FASTDIFFSR_TPU_STEPS_PER_CALL): amortizes the axon tunnel's
+            # per-dispatch overhead (2-150 ms depending on phase) exactly
+            # like the bench harness; bit-identical to the unchained loop
+            # (see make_cached_train_step). Clamped by gcd so every
+            # print/val/checkpoint boundary still lands on a call edge.
+            chain = int(train_opt.get("steps_per_call")
+                        or os.environ.get("FASTDIFFSR_TPU_STEPS_PER_CALL",
+                                          "1"))
+            if chain > 1:
+                import math
+                # steps_per_epoch is NOT a constraint: '<epoch:N>' is a
+                # cosmetic step-window counter in cache mode and is
+                # recomputed from current_step below
+                for f in (int(train_opt["print_freq"]),
+                          int(train_opt["val_freq"]),
+                          int(train_opt["save_checkpoint_freq"]),
+                          n_iter, current_step):
+                    if f:
+                        chain = math.gcd(chain, f)
+                logger.info(f"device-cache loop: {chain} steps per "
+                            "dispatch (lax.scan-chained)")
             cached_step = make_cached_train_step(
                 eng_train, apply_fn, tx, bsz,
                 ema_decay=float(ema_cfg.get("ema_decay", 0.9999)),
                 ema_start=int(ema_cfg.get("step_start_ema", 5000)),
-                mesh=mesh)
+                mesh=mesh, n_sub=chain)
+            chain_rng = repl(rng) if chain > 1 else None
             logger.info(
                 f"device-resident dataset: {raw['HR'].shape[0]} tiles, "
                 f"{sum(v.nbytes for v in raw.values()) / 1e6:.0f} MB in HBM "
@@ -475,22 +498,35 @@ def main(argv=None):
                 f"{steps_per_epoch}-step windows, not passes over the "
                 "data; use_shuffle is ignored)")
 
-        loss_window = []  # device scalars; kept async, fetched at print
+        if not use_cache:
+            chain = 1
+        loss_window = []  # device scalars/vecs; kept async, fetched at print
         while current_step < n_iter:
-            current_epoch += 1
-            for batch in ([None] * steps_per_epoch if use_cache
-                          else train_loader):
+            if use_cache:
+                inner = [None] * max(steps_per_epoch // chain, 1)
+            else:
+                current_epoch += 1
+                inner = train_loader
+            for batch in inner:
                 if current_step >= n_iter:
                     break
-                step_rng = repl(jax.random.fold_in(rng, current_step))
                 if use_cache:
+                    # chained mode folds per sub-step inside the program
+                    step_rng = (chain_rng if chain > 1 else
+                                repl(jax.random.fold_in(rng, current_step)))
                     state, metrics = cached_step(state, device_data,
                                                  step_rng)
                 else:
+                    step_rng = repl(jax.random.fold_in(rng, current_step))
                     if mesh is not None:
                         batch = shard_batch(batch, mesh)
                     state, metrics = step_fn(state, batch, step_rng)
-                current_step += 1
+                current_step += chain
+                if use_cache:
+                    # '<epoch:N>' counts steps_per_epoch-step windows (see
+                    # the device-resident banner) — same numbering as the
+                    # unchained loop at every print/val/ckpt boundary
+                    current_epoch = current_step // steps_per_epoch
                 loss_window.append(metrics["l_pix"])
 
                 if current_step % int(train_opt["print_freq"]) == 0:
@@ -499,9 +535,13 @@ def main(argv=None):
                     # leaves nothing to denoise), so ~5% of single-step
                     # prints sit at 0.798 on a perfectly healthy model —
                     # the mean is the signal to watch
-                    l_pix = host_scalar(metrics["l_pix"])
-                    l_avg = float(np.mean([host_scalar(x)
-                                           for x in loss_window]))
+                    def host_vec(x):
+                        return np.atleast_1d(np.asarray(
+                            multihost.fetch_replicated(x) if dist else x))
+                    window = np.concatenate([host_vec(x)
+                                             for x in loss_window])
+                    l_pix = float(window[-1])
+                    l_avg = float(np.mean(window))
                     loss_window.clear()
                     logger.info(f"<epoch:{current_epoch:3d}, "
                                 f"iter:{current_step:8,d}> l_pix: "

@@ -93,7 +93,8 @@ def make_cached_train_step(engine: DiffusionEngine,
                            ema_decay: float = 0.9999,
                            ema_start: int = 5000,
                            hflip: bool = True,
-                           mesh=None):
+                           mesh=None,
+                           n_sub: int = 1):
     """Device-resident-dataset train step: the whole (uint8) dataset lives
     in HBM and batch assembly — random index draw, [-1,1] normalization,
     paired random hflip — happens INSIDE the jitted program.
@@ -116,6 +117,17 @@ def make_cached_train_step(engine: DiffusionEngine,
     onto the ``data`` axis, so the UNet fwd/bwd runs DP with XLA-inserted
     grad psums — the fastest training mode and DP compose
     (tests/test_train.py::test_cached_train_step_mesh).
+
+    ``n_sub > 1`` chains that many optimizer steps inside ONE dispatch via
+    ``lax.scan`` — the same per-dispatch-overhead amortization the bench
+    harness uses (BASELINE.md: the axon tunnel charges 2-150 ms per
+    dispatch depending on phase; at 150 ms a single-step loop is 5x
+    slower than the compute). The call signature changes: ``rng`` is the
+    BASE key, and each sub-step derives ``fold_in(rng, state.step)`` from
+    the carried step counter — bit-identical to ``n_sub`` sequential
+    single-step calls with host-side folding
+    (tests/test_train.py::test_cached_train_step_chained). ``metrics``
+    values come back stacked with leading dim ``n_sub``.
     """
     body = _train_step_body(engine, apply_fn, tx, ema_decay, ema_start)
 
@@ -132,12 +144,20 @@ def make_cached_train_step(engine: DiffusionEngine,
                      for k, v in batch.items()}
         return batch, rng_body
 
-    def train_step(state: TrainState, data: dict, rng: jax.Array):
+    def one_step(state: TrainState, data: dict, rng: jax.Array):
         batch, rng_body = assemble(data, rng)
         if mesh is not None:
             batch = jax.lax.with_sharding_constraint(
                 batch, batch_sharding(mesh))
         return body(state, batch, rng_body)
+
+    if n_sub == 1:
+        train_step = one_step
+    else:
+        def train_step(state: TrainState, data: dict, rng: jax.Array):
+            def sub(s, _):
+                return one_step(s, data, jax.random.fold_in(rng, s.step))
+            return jax.lax.scan(sub, state, None, length=n_sub)
 
     if mesh is None:
         return jax.jit(train_step, donate_argnums=(0,))

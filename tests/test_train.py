@@ -201,6 +201,48 @@ def test_cached_train_step_mesh():
                                    atol=1e-5, rtol=1e-4)
 
 
+def test_cached_train_step_chained():
+    """n_sub=4 (four optimizer steps lax.scan-chained in one dispatch,
+    per-sub-step rng = fold_in(base, state.step)) must be bit-identical
+    to four sequential n_sub=1 calls with host-side folding — the
+    contract that lets the CLI chain dispatches for tunnel-overhead
+    amortization without changing training math."""
+    from fastdiffsr_tpu.train import make_cached_train_step
+
+    engine, net, params, apply_fn = _tiny_setup()
+    tx = make_optimizer({"lr": 1e-3})
+    g = np.random.default_rng(1)
+    raw = {k: jnp.asarray(g.integers(0, 255, (10, 16, 16, 3),
+                                     dtype=np.uint8))
+           for k in ("HR", "SR")}
+    rng = jax.random.PRNGKey(7)
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+
+    step_1 = make_cached_train_step(engine, apply_fn, tx, batch_size=4,
+                                    ema_start=2)
+    state_a = create_train_state(copy(params), tx)
+    losses = []
+    for _ in range(4):
+        # host-side folding by the CURRENT step, as the unchained CLI loop
+        state_a, m = step_1(state_a, raw,
+                            jax.random.fold_in(rng, int(state_a.step)))
+        losses.append(float(m["l_pix"]))
+
+    step_4 = make_cached_train_step(engine, apply_fn, tx, batch_size=4,
+                                    ema_start=2, n_sub=4)
+    state_b, m4 = step_4(create_train_state(copy(params), tx), raw, rng)
+
+    assert m4["l_pix"].shape == (4,)
+    np.testing.assert_allclose(np.asarray(m4["l_pix"]), losses, rtol=1e-6)
+    assert int(state_b.step) == int(state_a.step) == 4
+    for a, b in zip(jax.tree_util.tree_leaves(state_a.params)
+                    + jax.tree_util.tree_leaves(state_a.ema_params),
+                    jax.tree_util.tree_leaves(state_b.params)
+                    + jax.tree_util.tree_leaves(state_b.ema_params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+
+
 @pytest.mark.parametrize("backend", ["pickle", "orbax"])
 def test_load_params_only_orbax(backend, tmp_path):
     """load_params_only (used by the val/infer CLIs with no full template)
