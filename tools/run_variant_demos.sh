@@ -6,6 +6,9 @@
 # /tmp/train_<variant>.log and experiments/.
 set -u
 cd /root/repo
+# 100-step dispatch chaining (exact; tests/test_train.py): rides out the
+# tunnel's degraded per-dispatch phases, ~15.7 s/1000 iters measured
+export FASTDIFFSR_TPU_STEPS_PER_CALL=100
 for v in ddpm tesr gdp; do
   echo "=== $v: $(date) ==="
   python -m fastdiffsr_tpu.cli.sr_mfe -p train \
