@@ -63,7 +63,8 @@ def main():
             sf = None
         chained = bench.make_chained_sample_fn(engine, apply_fn,
                                                sample_fn=sf)
-        np.asarray(chained(params, cond, jax.random.fold_in(rng, -1), 1))
+        np.asarray(chained(params, cond,
+                           jax.random.fold_in(rng, -1 % 2**31), 1))
         dt = bench.diff_time(
             lambda n, i: np.asarray(
                 chained(params, cond, jax.random.fold_in(rng, i), n)),
