@@ -246,8 +246,10 @@ class ConditionalNAFNet(nn.Module):
                 co = chan // 2
                 kt = w1[0, 0].reshape(chan, co, 2, 2)[..., ::-1, ::-1]
                 kt = kt.transpose(2, 3, 0, 1).astype(self.dtype)
+                # x may arrive f32 (residual adds promote); nn.Conv casts
+                # implicitly on the literal path — match it here
                 x = jax.lax.conv_general_dilated(
-                    x, kt, window_strides=(1, 1),
+                    x.astype(self.dtype), kt, window_strides=(1, 1),
                     padding=((1, 1), (1, 1)), lhs_dilation=(2, 2),
                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
             else:

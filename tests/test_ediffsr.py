@@ -208,6 +208,16 @@ def test_nafnet_reformulation_modes_match_literal():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5, rtol=1e-5)
 
+    # bf16 must also run (the tconv fold once assumed its input dtype
+    # matched the kernel; residual adds promote to f32 — caught live)
+    lit16 = ConditionalNAFNet(dtype=jnp.bfloat16, **kw)
+    ref16 = ConditionalNAFNet(dtype=jnp.bfloat16, dw_mode="shift",
+                              up_mode="tconv", **kw)
+    w16 = lit16.apply({"params": params}, inp, cond, t, deterministic=True)
+    g16 = ref16.apply({"params": params}, inp, cond, t, deterministic=True)
+    np.testing.assert_allclose(np.asarray(g16), np.asarray(w16),
+                               atol=3e-2, rtol=3e-2)
+
 
 def test_reverse_sde_unroll_invariant():
     """lax.scan unroll is a schedule knob, not a math change."""
