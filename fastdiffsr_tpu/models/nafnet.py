@@ -59,18 +59,23 @@ def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
 
 def default_naf_dw() -> str:
     """NAFBlock depthwise-conv formulation (FASTDIFFSR_TPU_NAF_DW):
-    '' = lax grouped conv (literal); 'shift' = nine shifted FMAs."""
+    '' = lax grouped conv (literal, default); 'shift' = nine shifted FMAs
+    — measured 22% SLOWER end-to-end on v5e (tools/naf_check.py,
+    BASELINE.md r4), kept for other hardware/XLA versions."""
     import os
     return os.environ.get("FASTDIFFSR_TPU_NAF_DW", "")
 
 
 def default_naf_up() -> str:
-    """Decoder upsample formulation (FASTDIFFSR_TPU_NAF_UP): '' = 1x1 conv
-    + PixelShuffle (literal); 'tconv' = the exact stride-2 transposed-conv
-    fold of the pair (same param tree, no shuffle relayout) — the same
-    reformulation family as the flagship's Upsample tconv win."""
+    """Decoder upsample formulation (FASTDIFFSR_TPU_NAF_UP): 'tconv'
+    (default) = the exact stride-2 transposed-conv fold of the
+    (1x1 conv + PixelShuffle) pair — same param tree, no shuffle
+    relayout; bit-identical output and +4% restore throughput on v5e
+    (tools/naf_check.py interleaved A/B, BASELINE.md r4) — the same
+    reformulation family as the flagship's Upsample tconv win.
+    '' = the literal pair."""
     import os
-    return os.environ.get("FASTDIFFSR_TPU_NAF_UP", "")
+    return os.environ.get("FASTDIFFSR_TPU_NAF_UP", "tconv")
 
 
 class _ConvParams(nn.Module):
