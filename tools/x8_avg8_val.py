@@ -48,8 +48,8 @@ def main():
         cfgp = f"fastdiffsr_tpu/configs/demo_ucm_native_8_64_{tag}.json"
         base = json.loads(re.sub(r"//.*", "", open(cfgp).read()))
         ckpts = sorted(glob.glob(
-            f"experiments/demo_ucm_native_8_64_{tag}_*/checkpoint/"
-            "I60000_E*"))
+            f"experiments/demo_ucm_native_8_64_{tag}_*/checkpoint/I*_E*"),
+            key=lambda p: int(os.path.basename(p).split("_")[0][1:]))
         if not ckpts:
             print(f"# no checkpoint for {tag}, skipping", flush=True)
             continue
