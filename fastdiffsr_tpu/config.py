@@ -70,6 +70,19 @@ def parse(config_path: str, phase: str, debug: bool = False,
 
     # experiment dirs (reference core/logger.py:34-46)
     if opt["path"].get("resume_state"):
+        # A resume_state may contain glob wildcards (e.g.
+        # "experiments/<name>_*/checkpoint/I60000_E1000") so configs need
+        # not hardcode the timestamped run dir of one machine; the latest
+        # matching run wins. A wildcard with zero matches is a clear error
+        # here rather than a missing-file failure deep in load_state.
+        rs = opt["path"]["resume_state"]
+        if any(ch in rs for ch in "*?["):
+            import glob
+            matches = sorted(glob.glob(os.path.join(root, rs)))
+            if not matches:
+                raise FileNotFoundError(
+                    f"resume_state pattern matched nothing: {rs}")
+            opt["path"]["resume_state"] = matches[-1]
         experiments_root = os.path.dirname(
             os.path.dirname(opt["path"]["resume_state"]))
     else:
