@@ -161,6 +161,30 @@ def diff_time(dispatch, n_rep: int, n_blocks: int, label: str = "") -> float:
     return dt
 
 
+def mesh_and_total_batch(b_per_chip: int):
+    """The DP scale-out rule of the official bench: on a multi-device
+    host the batch is B_per_chip per device sharded over a data mesh,
+    and the metric stays per-chip. Returns (mesh, B_total, n_dev).
+    Shared by main() and tests/test_bench_accounting.py so the scaling
+    arithmetic a pod run would use is the one the dress rehearsal
+    certifies."""
+    import jax
+    n_dev = jax.device_count()
+    if n_dev > 1:
+        from fastdiffsr_tpu.parallel import make_mesh
+        return make_mesh(n_dev), b_per_chip * n_dev, n_dev
+    return None, b_per_chip, 1
+
+
+def per_chip_throughput(dispatch, n_rep: int, n_blocks: int, b_total: int,
+                        n_dev: int, label: str = ""):
+    """The official per-chip accounting: min-differenced seconds for
+    n_rep in-graph chained reps (diff_time), then
+    images/sec/chip = n_rep * B_total / dt / n_dev. Returns (value, dt)."""
+    dt = diff_time(dispatch, n_rep, n_blocks, label=label)
+    return n_rep * b_total / dt / n_dev, dt
+
+
 def chained_fori(run_once, reinject_to):
     """Generic in-graph rep chain: run_once(carry, key) -> out, reps
     re-injected as reinject_to + 0.0*mean(out) (full data dependence XLA
@@ -516,12 +540,7 @@ def main():
 
     # on a multi-chip host, shard the batch over a DP mesh (B scales with
     # the device count; the metric stays per-chip)
-    n_dev = jax.device_count()
-    mesh = None
-    if n_dev > 1:
-        from fastdiffsr_tpu.parallel import make_mesh
-        mesh = make_mesh(n_dev)
-        B = B * n_dev
+    mesh, B, n_dev = mesh_and_total_batch(B)
 
     cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32, -1.0, 1.0)
 
@@ -561,11 +580,9 @@ def main():
     # block_until_ready alone has proven unreliable for timing)
     np.asarray(chained(params, cond, keys_for(-1 % 2**31), 1))
 
-    dt = diff_time(
+    imgs_per_sec, dt = per_chip_throughput(
         lambda n, i: np.asarray(chained(params, cond, keys_for(i), n)),
-        n_rep, n_blocks)
-
-    imgs_per_sec = n_rep * B / dt / n_dev
+        n_rep, n_blocks, B, n_dev)
     metric = "sr_images_per_sec_per_chip_64to256_T20"
     tag = ""
     if sampler != "ancestral":
