@@ -466,12 +466,14 @@ def main(argv=None):
             # steps chained per dispatch (train.steps_per_call or
             # FASTDIFFSR_TPU_STEPS_PER_CALL): amortizes the axon tunnel's
             # per-dispatch overhead (2-150 ms depending on phase) exactly
-            # like the bench harness; bit-identical to the unchained loop
+            # like the bench harness; same step/key sequence as the
+            # unchained loop, numerically identical to 1e-6
             # (see make_cached_train_step). Clamped by gcd so every
             # print/val/checkpoint boundary still lands on a call edge.
             chain = int(train_opt.get("steps_per_call")
                         or os.environ.get("FASTDIFFSR_TPU_STEPS_PER_CALL",
                                           "1"))
+            requested_chain = chain
             if chain > 1:
                 import math
                 # steps_per_epoch is NOT a constraint: '<epoch:N>' is a
@@ -483,6 +485,14 @@ def main(argv=None):
                           n_iter, current_step):
                     if f:
                         chain = math.gcd(chain, f)
+                if chain != requested_chain:
+                    logger.warning(
+                        f"steps_per_call clamped {requested_chain} -> "
+                        f"{chain}: the chain must divide print/val/"
+                        "checkpoint freqs, n_iter and the resume step so "
+                        "every boundary lands on a call edge — pick freqs "
+                        "divisible by the requested chain to keep full "
+                        "chaining")
                 logger.info(f"device-cache loop: {chain} steps per "
                             "dispatch (lax.scan-chained)")
             cached_step = make_cached_train_step(
@@ -500,6 +510,12 @@ def main(argv=None):
 
         if not use_cache:
             chain = 1
+            if os.environ.get("FASTDIFFSR_TPU_STEPS_PER_CALL", "1") != "1":
+                logger.warning(
+                    "FASTDIFFSR_TPU_STEPS_PER_CALL is set but "
+                    "datasets.train.device_cache is off — step chaining "
+                    "only applies to the device-resident loop, so the env "
+                    "var is ignored")
         loss_window = []  # device scalars/vecs; kept async, fetched at print
         while current_step < n_iter:
             if use_cache:

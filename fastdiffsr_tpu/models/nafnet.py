@@ -66,6 +66,80 @@ def default_naf_dw() -> str:
     return os.environ.get("FASTDIFFSR_TPU_NAF_DW", "")
 
 
+def default_naf_fold() -> str:
+    """Batch-pair channel folding (FASTDIFFSR_TPU_NAF_FOLD): '' (default,
+    literal) | 'enc' | 'all' — pack 2 batch images into channels for the
+    256² width-64 NAFBlock stages so every 128-lane vreg is full (the r4
+    floor analysis: 15 of 21 blocks sit at 256²·c64 and the graph runs at
+    ~3.7% MXU — the binding term is lane under-occupancy of the
+    LayerNorm → 1x1 → gate → SCA chains, not MACs). 'enc' folds the
+    14-block enc stage 0; 'all' also folds the level-0 dec block. Exact:
+    all channel permutations ride inside the kernel constants
+    (block-diagonal shared-weight embeddings), the only runtime relayouts
+    are one fold/unfold reshape pair per folded stage. Parameter tree
+    identical to the literal path (tests/test_ediffsr.py fold parity)."""
+    import os
+    return os.environ.get("FASTDIFFSR_TPU_NAF_FOLD", "")
+
+
+def fold2_batch(x: jax.Array) -> jax.Array:
+    """(B,H,W,C) -> (B/2,H,W,2C), channels image-major: [img2m_C, img2m+1_C]."""
+    b, h, w, c = x.shape
+    return x.reshape(b // 2, 2, h, w, c).transpose(0, 2, 3, 1, 4) \
+            .reshape(b // 2, h, w, 2 * c)
+
+
+def unfold2_batch(x: jax.Array) -> jax.Array:
+    """Inverse of fold2_batch."""
+    b2, h, w, c2 = x.shape
+    return x.reshape(b2, h, w, 2, c2 // 2).transpose(0, 3, 1, 2, 4) \
+            .reshape(b2 * 2, h, w, c2 // 2)
+
+
+def _fold2_kernel(k: jax.Array, out_idx=None) -> jax.Array:
+    """Shared-weight block-diagonal embedding of a conv kernel
+    (kh,kw,Ci,Co) -> (kh,kw,2Ci,2Co): image-major in/out channel blocks,
+    exact zeros off-diagonal (adding exact zeros is order-independent, so
+    the folded contraction is bit-equal per image). ``out_idx`` permutes
+    the image-major output columns (e.g. into gate-half-major order) —
+    the permutation lives in the weight constant, not the activation."""
+    z = jnp.zeros_like(k)
+    kf = jnp.concatenate([jnp.concatenate([k, z], axis=-1),
+                          jnp.concatenate([z, k], axis=-1)], axis=-2)
+    if out_idx is not None:
+        kf = kf[..., out_idx]
+    return kf
+
+
+def _gate_major_idx(co: int):
+    """Output-channel order for a folded conv feeding SimpleGate: the
+    per-image gate halves interleave as [A_x1, B_x1, A_x2, B_x2] so a
+    plain split(2) gates each image against itself. Indexes the
+    image-major columns (i*co + j) of a _fold2_kernel output."""
+    import numpy as np
+    half = co // 2
+    return np.concatenate([np.arange(half), co + np.arange(half),
+                           half + np.arange(half),
+                           co + half + np.arange(half)])
+
+
+def _conv1x1(x: jax.Array, k: jax.Array, b, dtype) -> jax.Array:
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype), k.astype(dtype), (1, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y if b is None else y + b.astype(dtype)
+
+
+def _cln_folded(x: jax.Array, g: jax.Array, eps: float = 1e-5) -> jax.Array:
+    """channel_layer_norm on a folded tensor: stats per image half."""
+    b, h, w, c2 = x.shape
+    xr = x.reshape(b, h, w, 2, c2 // 2)
+    mean = jnp.mean(xr, axis=-1, keepdims=True)
+    var = jnp.mean((xr - mean) ** 2, axis=-1, keepdims=True)
+    xr = (xr - mean) * jax.lax.rsqrt(var + eps)
+    return xr.reshape(b, h, w, c2) * jnp.tile(g, 2)
+
+
 def default_naf_up() -> str:
     """Decoder upsample formulation (FASTDIFFSR_TPU_NAF_UP): 'tconv'
     (default) = the exact stride-2 transposed-conv fold of the
@@ -107,6 +181,7 @@ class NAFBlock(nn.Module):
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
     dw_mode: str = ""
+    folded: bool = False   # fold2 batch-pair layout, see default_naf_fold
 
     @nn.compact
     def __call__(self, x, t_emb, *, deterministic: bool = True):
@@ -116,13 +191,18 @@ class NAFBlock(nn.Module):
         # time modulation: SimpleGate -> Linear(time_dim/2, 4c) -> 4 chunks
         te = simple_gate(t_emb)
         te = nn.Dense(c * 4, dtype=self.dtype, name="time_dense")(te)
-        shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(
-            te[:, None, None, :], 4, axis=-1)
 
         g1 = self.param("norm1_g", nn.initializers.ones_init(), (c,))
         g2 = self.param("norm2_g", nn.initializers.ones_init(), (c,))
         beta = self.param("beta", nn.initializers.zeros_init(), (c,))
         gamma = self.param("gamma", nn.initializers.zeros_init(), (c,))
+
+        if self.folded:
+            return self._folded_body(x, te, g1, g2, beta, gamma,
+                                     deterministic)
+
+        shift_att, scale_att, shift_ffn, scale_ffn = jnp.split(
+            te[:, None, None, :], 4, axis=-1)
 
         inp = x
         x = channel_layer_norm(x, g1)
@@ -163,6 +243,64 @@ class NAFBlock(nn.Module):
             x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
         return y + x * gamma
 
+    def _folded_body(self, x, te, g1, g2, beta, gamma, deterministic):
+        """fold2 forward: x is (B/2,H,W,2c) image-major; identical
+        parameter tree (the _ConvParams holders mirror the literal
+        nn.Conv param paths), identical per-image arithmetic — the
+        block-diagonal kernels add only exact zeros to each contraction
+        (tests/test_ediffsr.py::test_nafnet_fold_parity)."""
+        c = self.c
+        dw = c * self.dw_expand
+        half = dw // 2
+        b2 = x.shape[0]
+
+        # (B,c) time chunks -> (B/2,1,1,2c) image-major modulation vectors
+        shift_att, scale_att, shift_ffn, scale_ffn = [
+            m.reshape(b2, 2 * c)[:, None, None, :]
+            for m in jnp.split(te, 4, axis=-1)]
+
+        gate_idx = _gate_major_idx(dw)
+
+        inp = x
+        x = _cln_folded(x, g1)
+        x = x * (scale_att + 1) + shift_att
+        k1, b1 = _ConvParams(dw, c, name="conv1")()
+        x = _conv1x1(x, _fold2_kernel(k1, gate_idx),
+                     jnp.tile(b1, 2)[gate_idx], self.dtype)
+        # depthwise 3x3: per-channel, so folding is a channel tile in the
+        # same gate-half-major order — no extra MACs at all
+        k2, b2v = _ConvParams(dw, 1, ksize=3, name="conv2")()
+        x = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            jnp.tile(k2, (1, 1, 1, 2))[..., gate_idx].astype(self.dtype),
+            (1, 1), padding=((1, 1), (1, 1)), feature_group_count=2 * dw,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = x + jnp.tile(b2v, 2)[gate_idx].astype(x.dtype)
+        x = simple_gate(x)          # -> (B/2,H,W,dw) image-major
+        sca = jnp.mean(x, axis=(1, 2), keepdims=True)
+        ks, bs = _ConvParams(half, half, name="sca_conv")()
+        sca = _conv1x1(sca, _fold2_kernel(ks), jnp.tile(bs, 2), self.dtype)
+        x = x * sca
+        k3, b3 = _ConvParams(c, half, name="conv3")()
+        x = _conv1x1(x, _fold2_kernel(k3), jnp.tile(b3, 2), self.dtype)
+        if self.dropout > 0:
+            x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        y = inp + x * jnp.tile(beta, 2)
+
+        x = _cln_folded(y, g2)
+        x = x * (scale_ffn + 1) + shift_ffn
+        ffn = c * self.ffn_expand
+        ffn_idx = _gate_major_idx(ffn)
+        k4, b4 = _ConvParams(ffn, c, name="conv4")()
+        x = _conv1x1(x, _fold2_kernel(k4, ffn_idx),
+                     jnp.tile(b4, 2)[ffn_idx], self.dtype)
+        x = simple_gate(x)
+        k5, b5 = _ConvParams(c, ffn // 2, name="conv5")()
+        x = _conv1x1(x, _fold2_kernel(k5), jnp.tile(b5, 2), self.dtype)
+        if self.dropout > 0:
+            x = nn.Dropout(rate=self.dropout, deterministic=deterministic)(x)
+        return y + x * jnp.tile(gamma, 2)
+
 
 class RCAB(nn.Module):
     """Residual channel attention block (DenoisingNAFNet_arch.py:121-141)."""
@@ -198,6 +336,7 @@ class ConditionalNAFNet(nn.Module):
     dtype: jnp.dtype = jnp.float32
     dw_mode: str = ""   # see default_naf_dw
     up_mode: str = ""   # see default_naf_up
+    fold_mode: str = ""  # see default_naf_fold: '' | 'enc' | 'all'
 
     @nn.compact
     def __call__(self, inp: jax.Array, cond: jax.Array, time: jax.Array, *,
@@ -221,14 +360,23 @@ class ConditionalNAFNet(nn.Module):
         x = nn.Conv(w, (3, 3), padding=1, dtype=self.dtype, name="intro")(x)
         x = x + RCAB(w, dtype=self.dtype, name="enhance")(x)
 
+        # fold2: pack batch pairs into channels for the widest-spatial
+        # stages (256² c64 at the paper config) — see default_naf_fold
+        do_fold = bool(self.fold_mode) and x.shape[0] % 2 == 0
+
         chan = w
         encs = []
         for i, num in enumerate(self.enc_blk_nums):
+            fold_here = do_fold and i == 0 and num > 0
+            if fold_here:
+                x = fold2_batch(x)
             for j in range(num):
                 x = NAFBlock(chan, w * 4, dtype=self.dtype,
-                             dw_mode=self.dw_mode,
+                             dw_mode=self.dw_mode, folded=fold_here,
                              name=f"enc_{i}_{j}")(
                                  x, t, deterministic=deterministic)
+            if fold_here:
+                x = unfold2_batch(x)
             encs.append(x)
             x = nn.Conv(2 * chan, (2, 2), strides=2, dtype=self.dtype,
                         name=f"down_{i}")(x)
@@ -263,11 +411,17 @@ class ConditionalNAFNet(nn.Module):
                 x = pixel_shuffle(x, 2)
             chan //= 2
             x = x + encs[::-1][i]
+            fold_here = (do_fold and self.fold_mode == "all"
+                         and i == len(self.dec_blk_nums) - 1 and num > 0)
+            if fold_here:
+                x = fold2_batch(x)
             for j in range(num):
                 x = NAFBlock(chan, w * 4, dtype=self.dtype,
-                             dw_mode=self.dw_mode,
+                             dw_mode=self.dw_mode, folded=fold_here,
                              name=f"dec_{i}_{j}")(
                                  x, t, deterministic=deterministic)
+            if fold_here:
+                x = unfold2_batch(x)
 
         x = nn.Conv(self.img_channel, (3, 3), padding=1, dtype=self.dtype,
                     name="ending")(x)
@@ -287,4 +441,5 @@ def nafnet_from_config(setting: dict, dtype=jnp.float32) -> ConditionalNAFNet:
         dtype=dtype,
         dw_mode=default_naf_dw(),
         up_mode=default_naf_up(),
+        fold_mode=default_naf_fold(),
     )

@@ -124,9 +124,12 @@ def make_cached_train_step(engine: DiffusionEngine,
     dispatch depending on phase; at 150 ms a single-step loop is 5x
     slower than the compute). The call signature changes: ``rng`` is the
     BASE key, and each sub-step derives ``fold_in(rng, state.step)`` from
-    the carried step counter — bit-identical to ``n_sub`` sequential
-    single-step calls with host-side folding
-    (tests/test_train.py::test_cached_train_step_chained). ``metrics``
+    the carried step counter — the same step/key sequence as ``n_sub``
+    sequential single-step calls with host-side folding, numerically
+    identical (verified to 1e-6; XLA may fuse/reassociate the scanned
+    body differently from the unrolled program, so bitwise equality is
+    not guaranteed —
+    tests/test_train.py::test_cached_train_step_chained). ``metrics``
     values come back stacked with leading dim ``n_sub``.
     """
     body = _train_step_body(engine, apply_fn, tx, ema_decay, ema_start)

@@ -219,6 +219,56 @@ def test_nafnet_reformulation_modes_match_literal():
                                atol=3e-2, rtol=3e-2)
 
 
+def test_nafnet_fold_parity():
+    """fold2 batch-pair channel packing (FASTDIFFSR_TPU_NAF_FOLD=enc|all)
+    is exact on the SAME param tree: the block-diagonal shared-weight
+    kernels add only exact zeros to each contraction and every channel
+    permutation rides inside the kernel constants, so the folded forward
+    is bit-equal to the literal one (VERDICT r4 missing #3 — the EDiffSR
+    analogue of the flagship's FASTDIFFSR_TPU_FOLD)."""
+    from fastdiffsr_tpu.models.nafnet import ConditionalNAFNet
+
+    kw = dict(img_channel=3, width=16, middle_blk_num=1,
+              enc_blk_nums=(2, 1), dec_blk_nums=(1, 1))
+    lit = ConditionalNAFNet(**kw)
+
+    rng = np.random.default_rng(7)
+    B, H, W = 4, 12, 12          # even batch (fold pairs), padder exercised
+    inp = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+    cond = jnp.asarray(rng.uniform(-1, 1, (B, H, W, 3)), jnp.float32)
+    t = jnp.asarray([3.0, 77.0, 10.0, 50.0], jnp.float32)
+
+    params = lit.init(jax.random.PRNGKey(0), inp[:1], cond[:1],
+                      t[:1])["params"]
+    want = np.asarray(lit.apply({"params": params}, inp, cond, t,
+                                deterministic=True))
+
+    for mode in ("enc", "all"):
+        fold = ConditionalNAFNet(fold_mode=mode, **kw)
+        p2 = fold.init(jax.random.PRNGKey(0), inp[:2], cond[:2],
+                       t[:2])["params"]
+        assert jax.tree_util.tree_structure(params) == \
+            jax.tree_util.tree_structure(p2)
+        got = np.asarray(fold.apply({"params": params}, inp, cond, t,
+                                    deterministic=True))
+        np.testing.assert_array_equal(got, want)
+
+    # odd batch: folding silently disabled (B is static), output unchanged
+    odd = ConditionalNAFNet(fold_mode="all", **kw)
+    got_odd = np.asarray(odd.apply({"params": params}, inp[:3], cond[:3],
+                                   t[:3], deterministic=True))
+    np.testing.assert_array_equal(got_odd, want[:3])
+
+    # bf16 (the benched dtype) must also fold bit-equal
+    lit16 = ConditionalNAFNet(dtype=jnp.bfloat16, **kw)
+    fold16 = ConditionalNAFNet(dtype=jnp.bfloat16, fold_mode="all", **kw)
+    w16 = np.asarray(lit16.apply({"params": params}, inp, cond, t,
+                                 deterministic=True))
+    g16 = np.asarray(fold16.apply({"params": params}, inp, cond, t,
+                                  deterministic=True))
+    np.testing.assert_array_equal(g16, w16)
+
+
 def test_reverse_sde_unroll_invariant():
     """lax.scan unroll is a schedule knob, not a math change."""
     from fastdiffsr_tpu.diffusion.sde import IRSDE, IRSDEBuffers

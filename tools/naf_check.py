@@ -7,6 +7,11 @@ Arms (same parameter tree, exact reformulations — tests/test_ediffsr.py):
              transposed conv
   both       dw_shift + up_tconv
   unroll4    baseline net, reverse-SDE scan unroll=4
+  fold_enc   fold2 batch-pair channel packing of the 14-block 256² enc
+             stage (lane-occupancy lever, VERDICT r4 missing #3)
+  fold_all   fold2 of the enc stage AND the level-0 dec block
+  (fold arms run with up_tconv, the shipped default, so they measure the
+  lever against the best known graph)
 
 All executables compile once, then are timed alternately so tunnel drift
 hits every arm equally (tools/vmem_check.py pattern). Numerical check:
@@ -46,9 +51,10 @@ def main():
     setting = {"width": 64, "enc_blk_nums": [14, 1, 1, 1],
                "middle_blk_num": 1, "dec_blk_nums": [1, 1, 1, 1]}
 
-    def make_net(dw="", up=""):
+    def make_net(dw="", up="", fold=""):
         import os
-        env = {"FASTDIFFSR_TPU_NAF_DW": dw, "FASTDIFFSR_TPU_NAF_UP": up}
+        env = {"FASTDIFFSR_TPU_NAF_DW": dw, "FASTDIFFSR_TPU_NAF_UP": up,
+               "FASTDIFFSR_TPU_NAF_FOLD": fold}
         old = {k: os.environ.get(k) for k in env}
         os.environ.update(env)
         try:
@@ -64,6 +70,8 @@ def main():
         "up_tconv": (make_net(up="tconv"), 1),
         "both": (make_net(dw="shift", up="tconv"), 1),
         "unroll4": (make_net(), 4),
+        "fold_enc": (make_net(up="tconv", fold="enc"), 1),
+        "fold_all": (make_net(up="tconv", fold="all"), 1),
     }
     arms = {k: ARMS[k] for k in args.arms.split(",")}
 

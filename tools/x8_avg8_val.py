@@ -11,7 +11,6 @@ Usage: python tools/x8_avg8_val.py s8h midh [s8]
 import glob
 import json
 import os
-import re
 import sys
 import tempfile
 
@@ -27,26 +26,41 @@ def main():
     tags = sys.argv[1:] or ["s8h", "midh"]
 
     # bicubic baseline on the holdout quadrants (identical across lever
-    # corpora: val is always the 4 clean quadrants)
-    val_dir = f"dataset/ucm_native_{tags[0]}/val_prep_8_64"
+    # corpora: val is always the 4 clean quadrants) — from the first tag
+    # whose prepared val dir exists, so one missing corpus doesn't abort
+    # the whole table
     b_psnr = b_ssim = n = 0.0
-    for hr_path in sorted(glob.glob(os.path.join(val_dir, "hr_64", "*.png"))):
-        name = os.path.basename(hr_path)
-        sr_path = os.path.join(val_dir, "sr_8_64", name)
-        hr = np.asarray(Image.open(hr_path))
-        bic = np.asarray(Image.open(sr_path))
-        b_psnr += M.calculate_psnr(bic, hr)
-        b_ssim += M.calculate_ssim(bic, hr)
-        n += 1
-    print(f"bicubic x8 baseline ({int(n)} tiles): "
-          f"psnr {b_psnr / n:.3f} ssim {b_ssim / n:.4f}", flush=True)
+    for tag in tags:
+        val_dir = f"dataset/ucm_native_{tag}/val_prep_8_64"
+        for hr_path in sorted(glob.glob(
+                os.path.join(val_dir, "hr_64", "*.png"))):
+            name = os.path.basename(hr_path)
+            sr_path = os.path.join(val_dir, "sr_8_64", name)
+            hr = np.asarray(Image.open(hr_path))
+            bic = np.asarray(Image.open(sr_path))
+            b_psnr += M.calculate_psnr(bic, hr)
+            b_ssim += M.calculate_ssim(bic, hr)
+            n += 1
+        if n:
+            break
+        print(f"# no prepared val dir for {tag} "
+              f"({val_dir}), trying next tag", flush=True)
+    if n:
+        print(f"bicubic x8 baseline ({int(n)} tiles): "
+              f"psnr {b_psnr / n:.3f} ssim {b_ssim / n:.4f}", flush=True)
+    else:
+        print("# no prepared val dir for any tag — bicubic baseline "
+              "skipped", flush=True)
 
     from fastdiffsr_tpu.cli.sr_mfe import main as cli_main
 
     rows = []
     for tag in tags:
         cfgp = f"fastdiffsr_tpu/configs/demo_ucm_native_8_64_{tag}.json"
-        base = json.loads(re.sub(r"//.*", "", open(cfgp).read()))
+        # the CLI's own line-wise comment stripper: a blanket //-regex
+        # would truncate string values containing '//' (URLs etc.)
+        from fastdiffsr_tpu.config import load_json_config
+        base = json.loads(json.dumps(load_json_config(cfgp)))
         ckpts = sorted(glob.glob(
             f"experiments/demo_ucm_native_8_64_{tag}_*/checkpoint/I*_E*"),
             key=lambda p: int(os.path.basename(p).split("_")[0][1:]))
