@@ -86,7 +86,12 @@ def build_all(opt, phase: str, mesh=None):
     variant = model_opt["which_model_G"]
     spec = DiffusionSpec.for_variant(variant)
     sched = model_opt["beta_schedule"]
-    eng_train = DiffusionEngine(spec, ScheduleBuffers.create(sched["train"]))
+    # model.diffusion.aux_ssim_weight (default 0 = reference semantics):
+    # image-space 1-SSIM auxiliary on the decoded x0_hat (engine.py)
+    aux_w = float((model_opt.get("diffusion") or {})
+                  .get("aux_ssim_weight") or 0.0)
+    eng_train = DiffusionEngine(spec, ScheduleBuffers.create(sched["train"]),
+                                aux_ssim_weight=aux_w)
     eng_val = DiffusionEngine(spec, ScheduleBuffers.create(sched["val"]))
 
     image_size = int(model_opt["diffusion"]["image_size"])

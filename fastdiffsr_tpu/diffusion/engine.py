@@ -156,9 +156,22 @@ def res2img(res: jax.Array, img_lr_up: jax.Array,
 class DiffusionEngine:
     """Pure-functional diffusion train/sample math for one (spec, schedule)."""
 
-    def __init__(self, spec: DiffusionSpec, buffers: ScheduleBuffers):
+    def __init__(self, spec: DiffusionSpec, buffers: ScheduleBuffers,
+                 aux_ssim_weight: float = 0.0):
         self.spec = spec
         self.buffers = buffers
+        # optional image-space auxiliary training loss
+        # w * (1 - SSIM(decode(x0_hat), HR)) — capability beyond the
+        # reference schema (model.diffusion.aux_ssim_weight); only the
+        # noise-pred + continuous-gamma parameterizations can decode
+        # x0_hat in closed form from the training draw
+        self.aux_ssim_weight = float(aux_ssim_weight)
+        if self.aux_ssim_weight and (spec.prediction != "noise" or
+                                     spec.conditioning !=
+                                     "continuous_gamma"):
+            raise NotImplementedError(
+                "aux_ssim_weight needs noise-pred + continuous-gamma "
+                f"(got {spec.prediction}/{spec.conditioning})")
 
     # ------------------------------------------------------------------ #
     # forward process
@@ -222,7 +235,28 @@ class DiffusionEngine:
         pred = denoise_fn(x_in, level)
 
         target = x_start if spec.prediction == "x0" else noise
-        return self._loss(target, pred)
+        loss = self._loss(target, pred)
+
+        if self.aux_ssim_weight:
+            # closed-form x0_hat from the noise prediction at the drawn
+            # gamma, decoded to image space and clamped exactly like the
+            # sampler's p_mean_variance does; the SSIM term then directly
+            # optimizes the eval metric (ops/dssim.py)
+            from ..ops.dssim import ssim as ssim_jax
+            g = gamma.reshape((-1,) + (1,) * (x_start.ndim - 1)) \
+                     .astype(jnp.float32)
+            x0_hat = (x_noisy.astype(jnp.float32)
+                      - jnp.sqrt(1.0 - g ** 2) * pred.astype(jnp.float32)) \
+                / g
+            x0_hat = jnp.clip(x0_hat, -1.0, 1.0)
+            if spec.target_space == "residual":
+                sr_hat = res2img(x0_hat, img_lr_up, clip=False)
+            else:
+                sr_hat = x0_hat
+            aux = 1.0 - ssim_jax((sr_hat + 1.0) * 127.5,
+                                 (x_hr.astype(jnp.float32) + 1.0) * 127.5)
+            loss = loss + self.aux_ssim_weight * aux
+        return loss
 
     def _loss(self, target: jax.Array, pred: jax.Array) -> jax.Array:
         diff = target.astype(jnp.float32) - pred.astype(jnp.float32)
