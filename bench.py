@@ -316,6 +316,19 @@ def bench_msi():
         }))
 
 
+def _gdp_net():
+    """The gdp guided-diffusion UNet at its reference config (128 model
+    channels regardless of inner_channel, attention at ds 32/16/8 —
+    gdp unet.py:565,583; config sr_gdp_*_64_256.json)."""
+    import jax.numpy as jnp
+
+    from fastdiffsr_tpu.models.unet_guided import guided_unet_from_config
+    return guided_unet_from_config(
+        {"in_channel": 6, "out_channel": 3, "res_blocks": 2,
+         "channel_multiplier": (1, 2, 4, 8)}, image_size=256,
+        dtype=jnp.bfloat16)
+
+
 def bench_full():
     """Speedup-vs-quality table: FastDiffSR T=20 vs the DDPM baseline's
     T=1000 ancestral sampling (the reference's headline comparison,
@@ -345,6 +358,7 @@ def bench_full():
          SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
                  attn_res=(16,), res_blocks=2, image_size=256,
                  dtype=jnp.bfloat16, upsample_mode=ups)),
+        ("gdp", "gdp", 1000, _gdp_net()),
     ]:
         sched = ("linear_cosine" if variant == "fastdiffsr" else "linear")
         engine = DiffusionEngine(

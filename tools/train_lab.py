@@ -51,6 +51,15 @@ def main():
     import jax.numpy as jnp
     import optax
 
+    # persistent compile cache: the cost-analysis lower().compile() below
+    # re-lowers the same HLO as the warm call — with the cache on it's a
+    # hit instead of a second 1-3 min compile per arm
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
     sys.path.insert(0, ".")
     from bench import build_flagship_net
     from fastdiffsr_tpu.diffusion import (DiffusionEngine, DiffusionSpec,
