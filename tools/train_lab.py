@@ -51,15 +51,6 @@ def main():
     import jax.numpy as jnp
     import optax
 
-    # persistent compile cache: the cost-analysis lower().compile() below
-    # re-lowers the same HLO as the warm call — with the cache on it's a
-    # hit instead of a second 1-3 min compile per arm
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
-
     sys.path.insert(0, ".")
     from bench import build_flagship_net
     from fastdiffsr_tpu.diffusion import (DiffusionEngine, DiffusionSpec,
@@ -132,37 +123,32 @@ def main():
         t0 = time.perf_counter()
         try:
             state, step, key = ARMS[name]()
-            # compile + first run (also catches OOM at trace/alloc time)
-            state, m = step(state, data, key)
+            # ONE AOT compile per arm: the compiled executable serves the
+            # warm-up, the cost/memory accounting AND the timed calls
+            comp = step.lower(state, data, key).compile()
+            state, m = comp(state, data, key)
             np.asarray(m["l_pix"])
         except Exception as e:  # noqa: BLE001 — report and keep going
             print(f"# {name}: FAILED ({type(e).__name__}: "
                   f"{str(e)[:200]})", flush=True)
             continue
-        arms[name] = {"state": state, "step": step, "key": key,
+        arms[name] = {"state": state, "step": comp, "key": key,
                       "l_pix": float(np.asarray(m["l_pix"])[-1])}
-        print(f"# compiled+warm {name:15s} in "
-              f"{time.perf_counter() - t0:6.1f}s "
-              f"(l_pix {arms[name]['l_pix']:.3f})", flush=True)
-
-    # executable accounting: FLOPs (per K-step call) and memory
-    for name, a in arms.items():
         try:
-            lowered = a["step"].lower(a["state"], data, a["key"])
-            comp = lowered.compile()
             ca = comp.cost_analysis()
             ca = ca[0] if isinstance(ca, list) else ca
             flops = float(ca.get("flops", 0.0))
             mem = comp.memory_analysis()
-            print(f"# {name:15s} flops/call {flops / 1e12:7.2f} TF  "
-                  f"peak {getattr(mem, 'temp_size_in_bytes', 0) / 2**30:6.2f}"
-                  f" GiB tmp + "
-                  f"{getattr(mem, 'argument_size_in_bytes', 0) / 2**30:5.2f}"
-                  " GiB args", flush=True)
-            a["flops"] = flops
+            arms[name]["flops"] = flops
+            extra = (f"flops/call {flops / 1e12:6.2f} TF, peak "
+                     f"{getattr(mem, 'temp_size_in_bytes', 0) / 2**30:5.2f}"
+                     " GiB tmp")
         except Exception as e:  # noqa: BLE001
-            print(f"# {name}: cost analysis n/a ({e})", flush=True)
-            a["flops"] = 0.0
+            arms[name]["flops"] = 0.0
+            extra = f"cost analysis n/a ({e})"
+        print(f"# compiled+warm {name:15s} in "
+              f"{time.perf_counter() - t0:6.1f}s "
+              f"(l_pix {arms[name]['l_pix']:.3f}; {extra})", flush=True)
 
     # interleaved 1-call / 2-call blocks; min-differencing per arm
     t_lo = {k: [] for k in arms}
