@@ -412,7 +412,21 @@ def main(argv=None):
                                          opt["datasets"]["train"], "train",
                                          shard_by_process=dist)
         n_iter = int(train_opt["n_iter"])
-        rng = jax.random.PRNGKey(42)
+        # Training PRNG impl (FASTDIFFSR_TPU_PRNG, default 'rbg'): the
+        # train step's dropout masks at 256²x64 cost ~190 ms/step under
+        # threefry (39% of the whole fwd+bwd+Adam+EMA step); the rbg
+        # generator produces the same-quality Bernoulli masks for ~146
+        # ms/step less — +43% measured train throughput (tools/
+        # train_lab.py, BASELINE.md r5). Key SEQUENCES differ between
+        # impls (training is stochastic either way); set
+        # FASTDIFFSR_TPU_PRNG=threefry2x32 to restore the jax default.
+        prng_impl = os.environ.get("FASTDIFFSR_TPU_PRNG", "rbg")
+        try:
+            rng = jax.random.key(42, impl=prng_impl)
+        except Exception:
+            logger.warning(f"PRNG impl {prng_impl!r} unavailable; "
+                           "falling back to the jax default")
+            rng = jax.random.PRNGKey(42)
 
         # opt-in device-resident dataset (datasets.train.device_cache):
         # the uint8 tiles live in HBM; index/normalize/hflip happen inside
