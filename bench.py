@@ -428,16 +428,26 @@ def bench_train():
                                           -1, 1),
                  "SR": jax.random.uniform(rng, (B, H, W, 3), jnp.float32,
                                           -1, 1)}
-        state, m = step_fn(state, batch, rng)    # compile
+        # the train CLI's shipped PRNG default (rbg): threefry dropout
+        # mask generation alone is 30% of the step (tools/train_lab.py,
+        # BASELINE.md r5) — bench the product path
+        import os
+        impl = os.environ.get("FASTDIFFSR_TPU_PRNG", "rbg")
+        try:
+            trng = jax.random.key(0, impl=impl)
+        except Exception:
+            trng = rng
+        state, m = step_fn(state, batch, trng)    # compile
         _ = float(m["l_pix"])
         n = 10
         t0 = time.time()
         for i in range(n):
-            state, m = step_fn(state, batch, jax.random.fold_in(rng, i))
+            state, m = step_fn(state, batch, jax.random.fold_in(trng, i))
         _ = float(m["l_pix"])
         dt = (time.time() - t0) / n
         print(f"train batch {B}: {dt * 1e3:7.1f} ms/step "
-              f"{B / dt:8.2f} img/s  (l_pix {float(m['l_pix']):.4f})")
+              f"{B / dt:8.2f} img/s  (l_pix {float(m['l_pix']):.4f}, "
+              f"prng {impl})")
 
 
 def bench_latency():
