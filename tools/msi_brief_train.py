@@ -30,7 +30,7 @@ import numpy as np
 
 sys.path.insert(0, "/root/repo")
 
-TRAIN_DIR = "dataset/ucm_native/train/hr_64"
+TRAIN_DIR = "dataset/ucm_native/train/hr_64"   # --train_dir overrides
 VAL_DIR = "dataset/ucm_native/val/hr_64"
 
 
@@ -67,13 +67,17 @@ def run_swinir(args):
     model = build_model("swinir", targs)
     tr = SupervisedSRTrainer(model, targs)
     tr._enable_dp(args.batch)
+    if args.resume:
+        tr.load(args.resume)
+        print(f"# swinir resumed from {args.resume} "
+              f"(step {int(tr.state.step)})", flush=True)
 
     ds = RGBSRDataset([TRAIN_DIR], 64, 4, split="train")
     loader = MSIDataLoader(ds, batch_size=args.batch, shuffle=True)
     rng = jax.random.PRNGKey(1)
 
     best = (-1.0, None)
-    step = 0
+    step = int(tr.state.step)
     t_hist = []
     while step < args.steps:
         t0 = time.time()
@@ -174,8 +178,15 @@ def main():
     ap.add_argument("--chunk", type=int, default=500)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--resume", default=None,
+                    help="checkpoint prefix to resume (swinir only)")
+    ap.add_argument("--train_dir", default=None,
+                    help="override the HR train dir (e.g. the 972-tile\n                    stride-8 corpus dataset/ucm_native_s8h/train/hr_64)")
     ap.add_argument("--save_root", default="experiments/msi_brief")
     args = ap.parse_args()
+    if args.train_dir:
+        global TRAIN_DIR
+        TRAIN_DIR = args.train_dir
 
     bp, bs, n = bicubic_baseline(4, 64)
     print(f"bicubic x4 baseline ({n} tiles, MSI data path): "
