@@ -90,8 +90,11 @@ def build_all(opt, phase: str, mesh=None):
     # image-space 1-SSIM auxiliary on the decoded x0_hat (engine.py)
     aux_w = float((model_opt.get("diffusion") or {})
                   .get("aux_ssim_weight") or 0.0)
+    aux_p = float((model_opt.get("diffusion") or {})
+                  .get("aux_ssim_gamma_pow") or 0.0)
     eng_train = DiffusionEngine(spec, ScheduleBuffers.create(sched["train"]),
-                                aux_ssim_weight=aux_w)
+                                aux_ssim_weight=aux_w,
+                                aux_ssim_gamma_pow=aux_p)
     eng_val = DiffusionEngine(spec, ScheduleBuffers.create(sched["val"]))
 
     image_size = int(model_opt["diffusion"]["image_size"])

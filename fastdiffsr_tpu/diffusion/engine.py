@@ -157,15 +157,22 @@ class DiffusionEngine:
     """Pure-functional diffusion train/sample math for one (spec, schedule)."""
 
     def __init__(self, spec: DiffusionSpec, buffers: ScheduleBuffers,
-                 aux_ssim_weight: float = 0.0):
+                 aux_ssim_weight: float = 0.0,
+                 aux_ssim_gamma_pow: float = 0.0):
         self.spec = spec
         self.buffers = buffers
         # optional image-space auxiliary training loss
-        # w * (1 - SSIM(decode(x0_hat), HR)) — capability beyond the
-        # reference schema (model.diffusion.aux_ssim_weight); only the
-        # noise-pred + continuous-gamma parameterizations can decode
-        # x0_hat in closed form from the training draw
+        # w * mean_i(gamma_i^p * (1 - SSIM_i(decode(x0_hat), HR))) —
+        # capability beyond the reference schema
+        # (model.diffusion.aux_ssim_weight / aux_ssim_gamma_pow); only
+        # the noise-pred + continuous-gamma parameterizations can decode
+        # x0_hat in closed form from the training draw. p > 0
+        # concentrates the SSIM signal at low-noise draws where x0_hat
+        # actually carries image structure (at gamma->gamma_min the
+        # decode is noise-dominated and the SSIM gradient is mostly
+        # gradient noise).
         self.aux_ssim_weight = float(aux_ssim_weight)
+        self.aux_ssim_gamma_pow = float(aux_ssim_gamma_pow)
         if self.aux_ssim_weight and (spec.prediction != "noise" or
                                      spec.conditioning !=
                                      "continuous_gamma"):
@@ -253,8 +260,13 @@ class DiffusionEngine:
                 sr_hat = res2img(x0_hat, img_lr_up, clip=False)
             else:
                 sr_hat = x0_hat
-            aux = 1.0 - ssim_jax((sr_hat + 1.0) * 127.5,
-                                 (x_hr.astype(jnp.float32) + 1.0) * 127.5)
+            s_i = ssim_jax((sr_hat + 1.0) * 127.5,
+                           (x_hr.astype(jnp.float32) + 1.0) * 127.5,
+                           per_image=True)
+            w_i = (gamma.astype(jnp.float32) ** self.aux_ssim_gamma_pow
+                   if self.aux_ssim_gamma_pow else
+                   jnp.ones_like(s_i))
+            aux = jnp.mean(w_i * (1.0 - s_i))
             loss = loss + self.aux_ssim_weight * aux
         return loss
 

@@ -43,9 +43,11 @@ def _depthwise_sep_filter(x: jax.Array, k1d: jax.Array) -> jax.Array:
                                         dimension_numbers=dn)
 
 
-def ssim(img1: jax.Array, img2: jax.Array) -> jax.Array:
-    """Mean SSIM over the batch; inputs (B,H,W,C) float on the 0..255
-    scale (the eval metric's dynamic range — map [-1,1] activations with
+def ssim(img1: jax.Array, img2: jax.Array,
+         per_image: bool = False) -> jax.Array:
+    """Mean SSIM over the batch (or per-image (B,) means with
+    ``per_image=True``); inputs (B,H,W,C) float on the 0..255 scale (the
+    eval metric's dynamic range — map [-1,1] activations with
     ``(x + 1) * 127.5`` first). Differentiable."""
     C1 = (0.01 * 255) ** 2
     C2 = (0.03 * 255) ** 2
@@ -61,4 +63,6 @@ def ssim(img1: jax.Array, img2: jax.Array) -> jax.Array:
     sigma12 = _depthwise_sep_filter(img1 * img2, k) - mu1_mu2
     ssim_map = (((2 * mu1_mu2 + C1) * (2 * sigma12 + C2)) /
                 ((mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)))
+    if per_image:
+        return jnp.mean(ssim_map, axis=(1, 2, 3))
     return jnp.mean(ssim_map)
