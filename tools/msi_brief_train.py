@@ -171,6 +171,69 @@ def run_ndsrgan(args):
     return {"final": res, "best": best}
 
 
+def run_ndsrgan_polish(args):
+    """Supervised low-lr polish of a GAN-trained DRRDB generator (resume
+    via --resume pointing at a checkpoint the GAN driver's eval trainer
+    saved). The adversarial phase is demonstrated by run_ndsrgan; this
+    stage is the reference-style end-of-training consolidation (the
+    reference's GAN weight is 1e-3 — its objective is ~99.9% pixel
+    loss anyway, ndsrgan.py:310+)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fastdiffsr_tpu.msi.data import MSIDataLoader, RGBSRDataset
+    from fastdiffsr_tpu.msi.ndsrgan import DRRDBNet
+    from fastdiffsr_tpu.msi.trainer import SupervisedSRTrainer
+
+    targs = types.SimpleNamespace(
+        scale_factor=4, crop_size=64, test_crop_size=64, lr=args.lr,
+        b1=0.9, b2=0.999, num_epochs=1, batch_size=args.batch,
+        log_freq=10**9, eval_batch_size=8, model_name="NDSRGAN",
+        save_dir=os.path.join(args.save_root, "ndsrgan_polish"))
+    tr = SupervisedSRTrainer(DRRDBNet(scale=4, nf=64, nc=32,
+                                      n_blocks=23), targs)
+    tr._enable_dp(args.batch)
+    assert args.resume, "--resume required for ndsrgan_polish"
+    tr.load(args.resume)
+    print(f"# ndsrgan_polish resumed from {args.resume}", flush=True)
+
+    ds = RGBSRDataset([TRAIN_DIR], 64, 4, split="train")
+    loader = MSIDataLoader(ds, batch_size=args.batch, shuffle=True)
+    rng = jax.random.PRNGKey(3)
+
+    best = (-1.0, None)
+    step = int(tr.state.step)
+    target = step + args.steps
+    while step < target:
+        t0 = time.time()
+        chunk_end = min(step + args.chunk, target)
+        losses = []
+        while step < chunk_end:
+            for batch in loader:
+                tr.state, loss = tr._train_step(
+                    tr.state, jnp.asarray(batch["LR"]),
+                    jnp.asarray(batch["HR"]),
+                    jax.random.fold_in(rng, step))
+                losses.append(float(loss))
+                step += 1
+                if step >= chunk_end:
+                    break
+        dt = time.time() - t0
+        res = tr.validate([VAL_DIR], save_images=False)
+        print(f"ndsrgan_polish step {step}: loss {np.mean(losses):.4f} "
+              f"val psnr {res['psnr']:.3f} ssim {res['ssim']:.4f} "
+              f"({dt:.0f}s chunk)", flush=True)
+        if res["psnr"] > best[0]:
+            best = (res["psnr"], res["ssim"])
+            tr.save(epoch=step, tag="best")
+    tr.save(epoch=step)
+    res = tr.validate([VAL_DIR], save_images=True)
+    print(f"ndsrgan_polish FINAL step {step}: psnr {res['psnr']:.3f} "
+          f"ssim {res['ssim']:.4f}; best psnr {best[0]:.3f} "
+          f"ssim {best[1]:.4f}", flush=True)
+    return {"final": res, "best": best}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default="swinir,ndsrgan")
@@ -196,7 +259,8 @@ def main():
     for m in args.models.split(","):
         t0 = time.time()
         results[m] = {"swinir": run_swinir,
-                      "ndsrgan": run_ndsrgan}[m](args)
+                      "ndsrgan": run_ndsrgan,
+                      "ndsrgan_polish": run_ndsrgan_polish}[m](args)
         print(f"# {m} total {time.time() - t0:.0f}s", flush=True)
 
     print("\n| model | val PSNR | val SSIM | vs bicubic PSNR |")
