@@ -346,19 +346,22 @@ def bench_full():
 
     ups = default_upsample_mode()
     rng = jax.random.PRNGKey(0)
-    B, H, W = 8, 256, 256
+    H, W = 256, 256
     rows = []
-    for name, variant, T, net in [
-        ("fastdiffsr", "fastdiffsr", 20, build_flagship_net()),
-        ("ddpm", "ddpm", 1000,
+    for name, variant, T, B, net in [
+        ("fastdiffsr", "fastdiffsr", 20, 8, build_flagship_net()),
+        ("ddpm", "ddpm", 1000, 8,
          SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
                  attn_res=(16,), res_blocks=2, image_size=256,
                  dtype=jnp.bfloat16, upsample_mode=ups)),
-        ("tesr", "tesr", 2000,
+        ("tesr", "tesr", 2000, 8,
          SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
                  attn_res=(16,), res_blocks=2, image_size=256,
                  dtype=jnp.bfloat16, upsample_mode=ups)),
-        ("gdp", "gdp", 1000, _gdp_net()),
+        # gdp's guided-diffusion UNet is ~4x the activation footprint
+        # (128 model channels, attention at ds 32/16/8): batch 4 — the
+        # metric is per-image; batch 8 crashed the tunneled TPU worker
+        ("gdp", "gdp", 1000, 4, _gdp_net()),
     ]:
         sched = ("linear_cosine" if variant == "fastdiffsr" else "linear")
         engine = DiffusionEngine(
@@ -366,22 +369,28 @@ def bench_full():
             ScheduleBuffers.create({"schedule": sched, "n_timestep": T,
                                     "linear_start": 1e-6,
                                     "linear_end": 1e-2}))
-        params = net.init(rng, jnp.zeros((1, H, W, 6)),
-                          jnp.ones((1,)))["params"]
+        try:
+            params = net.init(rng, jnp.zeros((1, H, W, 6)),
+                              jnp.ones((1,)))["params"]
 
-        def apply_fn(p, x_in, level, _r, _net=net):
-            return _net.apply({"params": p}, x_in, level,
-                              deterministic=True)
+            def apply_fn(p, x_in, level, _r, _net=net):
+                return _net.apply({"params": p}, x_in, level,
+                                  deterministic=True)
 
-        fn = make_sample_fn(engine, apply_fn)
-        cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32, -1, 1)
-        out = np.asarray(fn(params, cond, rng))  # compile+sync
-        t0 = time.time()
-        out = np.asarray(fn(params, cond, jax.random.fold_in(rng, 1)))
-        dt = time.time() - t0
+            fn = make_sample_fn(engine, apply_fn)
+            cond = jax.random.uniform(rng, (B, H, W, 3), jnp.float32,
+                                      -1, 1)
+            out = np.asarray(fn(params, cond, rng))  # compile+sync
+            t0 = time.time()
+            out = np.asarray(fn(params, cond, jax.random.fold_in(rng, 1)))
+            dt = time.time() - t0
+        except Exception as e:  # noqa: BLE001 — keep the table
+            print(f"{name:>10} T={T:5d}: FAILED "
+                  f"({type(e).__name__}: {str(e)[:120]})")
+            continue
         rows.append((name, T, B / dt, dt / B))
         print(f"{name:>10} T={T:5d}: {B / dt:8.3f} img/s "
-              f"({dt / B * 1000:.0f} ms/img)")
+              f"({dt / B * 1000:.0f} ms/img, batch {B})")
     if len(rows) >= 2:
         for other in rows[1:]:
             print(f"speedup fastdiffsr vs {other[0]}: "
