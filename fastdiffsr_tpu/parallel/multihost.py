@@ -104,6 +104,18 @@ def replicate(tree, mesh: Mesh):
     sh = replicated_sharding(mesh)
 
     def put(x):
+        import jax.numpy as jnp
+
+        # typed PRNG keys (e.g. the train CLI's rbg dropout keys) cannot
+        # round-trip through numpy: replicate the underlying uint32 key
+        # data and rewrap with the same impl
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype,
+                                                  jax.dtypes.prng_key):
+            impl = jax.random.key_impl(x)
+            data = np.asarray(jax.random.key_data(x))
+            arr = jax.make_array_from_callback(data.shape, sh,
+                                               lambda idx: data[idx])
+            return jax.random.wrap_key_data(arr, impl=impl)
         x = np.asarray(x)
         return jax.make_array_from_callback(x.shape, sh,
                                             lambda idx: x[idx])
