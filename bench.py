@@ -358,10 +358,12 @@ def bench_full():
          SR3UNet(inner_channel=64, channel_mults=(1, 2, 4, 4),
                  attn_res=(16,), res_blocks=2, image_size=256,
                  dtype=jnp.bfloat16, upsample_mode=ups)),
-        # gdp's guided-diffusion UNet is ~4x the activation footprint
-        # (128 model channels, attention at ds 32/16/8): batch 4 — the
-        # metric is per-image; batch 8 crashed the tunneled TPU worker
-        ("gdp", "gdp", 1000, 4, _gdp_net()),
+        # gdp: the T=1000 one-scan program at 256² crashes this tunnel
+        # stack's TPU worker outright (fresh process, batch 4 — a
+        # compiler/runtime fault, reproduced 3x; the same graph runs fine
+        # at 64², r4 demo val). Time the IDENTICAL scan at T=100 and
+        # scale: per-step cost is trip-count-invariant in a lax.scan.
+        ("gdp", "gdp", 100, 4, _gdp_net()),
     ]:
         sched = ("linear_cosine" if variant == "fastdiffsr" else "linear")
         engine = DiffusionEngine(
@@ -388,9 +390,16 @@ def bench_full():
             print(f"{name:>10} T={T:5d}: FAILED "
                   f"({type(e).__name__}: {str(e)[:120]})")
             continue
-        rows.append((name, T, B / dt, dt / B))
-        print(f"{name:>10} T={T:5d}: {B / dt:8.3f} img/s "
-              f"({dt / B * 1000:.0f} ms/img, batch {B})")
+        if name == "gdp":
+            # report at the variant's real T=1000 (scan-derived)
+            rows.append((name, 1000, B / dt / 10, dt / B * 10))
+            print(f"{name:>10} T= 1000: {B / dt / 10:8.3f} img/s "
+                  f"({dt / B * 10000:.0f} ms/img, batch {B}; derived "
+                  f"from the identical T={T} scan)")
+        else:
+            rows.append((name, T, B / dt, dt / B))
+            print(f"{name:>10} T={T:5d}: {B / dt:8.3f} img/s "
+                  f"({dt / B * 1000:.0f} ms/img, batch {B})")
     if len(rows) >= 2:
         for other in rows[1:]:
             print(f"speedup fastdiffsr vs {other[0]}: "
