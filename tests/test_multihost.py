@@ -291,3 +291,31 @@ def test_two_process_cluster_matches_single_process():
     # comparison is tolerance-based, not bitwise
     assert outs[0]["loss"] == pytest.approx(ref_loss, rel=2e-4)
     assert outs[0]["check"] == pytest.approx(ref_check, rel=2e-3, abs=2.0)
+
+
+def test_replicate_typed_prng_key():
+    """Regression for the r5 rbg-default breakage: multihost.replicate
+    must handle TYPED PRNG keys (the train CLI replicates its rbg
+    dropout key when -dist chaining is on, cli/sr_mfe.py) — a typed key
+    cannot round-trip through np.asarray, so replicate rewraps the
+    uint32 key data with the original impl."""
+    from fastdiffsr_tpu.parallel import multihost
+
+    mesh = make_mesh(len(jax.devices()))
+    for impl in ("rbg", "threefry2x32"):
+        key = jax.random.key(7, impl=impl)
+        rep = multihost.replicate(key, mesh)
+        assert jnp.issubdtype(rep.dtype, jax.dtypes.prng_key)
+        assert str(jax.random.key_impl(rep)) == str(jax.random.key_impl(key))
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.key_data(rep)),
+            np.asarray(jax.random.key_data(key)))
+        # the replicated key draws the same stream as the host key
+        np.testing.assert_array_equal(
+            np.asarray(jax.random.uniform(rep, (4,))),
+            np.asarray(jax.random.uniform(key, (4,))))
+        # pytrees mixing typed keys and plain arrays replicate in one call
+        tree = {"rng": key, "x": np.arange(6, dtype=np.float32)}
+        rtree = multihost.replicate(tree, mesh)
+        np.testing.assert_array_equal(np.asarray(rtree["x"]), tree["x"])
+        assert jnp.issubdtype(rtree["rng"].dtype, jax.dtypes.prng_key)

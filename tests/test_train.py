@@ -318,3 +318,40 @@ def test_cached_train_step(tmp_path):
         losses.append(float(m["l_pix"]))
     assert np.isfinite(losses).all()
     assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_train_step_rbg_typed_key():
+    """The shipped train-CLI default is a TYPED rbg key
+    (FASTDIFFSR_TPU_PRNG=rbg, cli/sr_mfe.py — threefry dropout-mask
+    generation was 30% of the 256^2 step, BASELINE.md r5). The jitted
+    step must accept typed keys: fold_in per step, dropout rngs, and the
+    cached in-graph-folding path all run and train."""
+    from fastdiffsr_tpu.train import make_cached_train_step
+
+    engine, net, params, apply_fn = _tiny_setup(dropout=0.2)
+    tx = make_optimizer({"lr": 2e-3})
+    rng = jax.random.key(42, impl="rbg")
+    copy = lambda t: jax.tree_util.tree_map(lambda x: jnp.array(x), t)
+
+    # plain step, host-side fold_in of the typed key (unchained CLI loop)
+    state = create_train_state(copy(params), tx)
+    step = make_train_step(engine, apply_fn, tx, ema_start=10_000)
+    batch = _batch()
+    losses = []
+    for i in range(20):
+        state, m = step(state, batch, jax.random.fold_in(rng, i))
+        losses.append(float(m["l_pix"]))
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+    # cached step with in-graph folding of the typed key (chained loop)
+    g = np.random.default_rng(3)
+    raw = {k: jnp.asarray(g.integers(0, 255, (10, 16, 16, 3),
+                                     dtype=np.uint8))
+           for k in ("HR", "SR")}
+    cstep = make_cached_train_step(engine, apply_fn, tx, batch_size=4,
+                                   ema_start=10_000, n_sub=3)
+    cstate, cm = cstep(create_train_state(copy(params), tx), raw, rng)
+    assert cm["l_pix"].shape == (3,)
+    assert np.isfinite(np.asarray(cm["l_pix"])).all()
+    assert int(cstate.step) == 3
