@@ -81,6 +81,18 @@ def test_training_loss_aux_ssim_decomposition():
                            (batch["HR"] + 1) * 127.5))
     np.testing.assert_allclose(l1 - l0, w * aux, rtol=1e-4, atol=1e-6)
 
+    # gamma^p weighting (the r5 s8hg arm): per-image 1-SSIM terms
+    # weighted by the drawn gamma^p instead of uniformly
+    p = 2.0
+    e2 = DiffusionEngine(spec, buf, aux_ssim_weight=w,
+                         aux_ssim_gamma_pow=p)
+    l2 = float(e2.training_loss(denoise, batch, key))
+    s_i = ssim((sr_hat + 1) * 127.5, (batch["HR"] + 1) * 127.5,
+               per_image=True)
+    aux_g = float(jnp.mean(jnp.asarray(gamma, jnp.float32) ** p
+                           * (1.0 - s_i)))
+    np.testing.assert_allclose(l2 - l0, w * aux_g, rtol=1e-4, atol=1e-6)
+
     with pytest.raises(NotImplementedError):
         DiffusionEngine(DiffusionSpec.for_variant("gdp"), buf,
                         aux_ssim_weight=0.1)
